@@ -1,0 +1,170 @@
+"""SAMAdapterBimodal: SAM ViT-L wrapped with the multimodal adapter.
+
+Re-design of reference
+mmseg_custom/models/backbones/image_encoder_adapter_bimodal_mix_mod_new_in_twin_convnext_new_with_cp.py:27-350.
+
+Forward contract: input (B, H, W, 3 + aux_ch) NHWC; split RGB / aux; SPM
+produces pyramid tokens c1..c4; ViT patch-embed + bicubically resized
+pos-embed; 4 interaction stages {inject -> 6 SAM blocks -> extract}; pyramid
+reassembly (transposed-conv upsample of c2 into c1, bilinear-scaled ViT
+features added per level), 4 final BatchNorms (SyncBN == global-batch BN
+under a sharded jit). Returns [f1, f2, f3, f4] NHWC at strides 4/8/16/32,
+each `embed_dim` channels.
+
+Memory: each interaction stage (its 6 ViT blocks + injector/extractor) is
+one `nn.remat` unit when training (the reference's `with_cp=True`), bounding
+activation memory to ~1 stage.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import BatchNorm, fan_out_conv_init
+from ..utils.interpolate import resize_bicubic, resize_bilinear
+from .adapter import InteractionBlock, SpatialPriorModuleBimodal
+from .sam_vit import PatchEmbed
+
+
+class SAMAdapterBimodal(nn.Module):
+    """Top-level multimodal backbone (reference registry name:
+    SAMAdapterbimodalMixModNewInTwinConvNEW[withcp])."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.3
+    conv_drop_path_rate: float = 0.4
+    drop_rate: float = 0.0
+    conv_inplane: int = 48
+    n_points: int = 4
+    deform_num_heads: int = 16
+    init_values: float = 1e-6
+    cffn_ratio: float = 0.25
+    deform_ratio: float = 0.5
+    with_cffn: bool = True
+    use_extra_extractor: bool = True
+    add_vit_feature: bool = True
+    interaction_indexes: Tuple[Tuple[int, int], ...] = (
+        (0, 5), (6, 11), (12, 17), (18, 23),
+    )
+    global_attn_indexes: Tuple[int, ...] = (5, 11, 17, 23)
+    window_size: int = 14
+    pretrained_size: int = 1024
+    modalities_ch: Tuple[int, ...] = (3, 3)
+    arch: str = "small"
+    with_cp: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        rgb_ch = self.modalities_ch[0]
+        x_rgb = x[..., :rgb_ch]
+        x_aux = x[..., rgb_ch:]
+        B, H_img, W_img, _ = x.shape
+        deterministic = not train
+
+        # ---- spatial prior (twin ConvNeXt + fusion neck) -> pyramid tokens
+        c1, c2, c3, c4 = SpatialPriorModuleBimodal(
+            embed_dim=self.embed_dim,
+            conv_inplane=self.conv_inplane,
+            arch=self.arch,
+            conv_drop_path_rate=self.conv_drop_path_rate,
+            dtype=self.dtype,
+            name="spm",
+        )(x_rgb, x_aux, train=train, deterministic=deterministic)
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (3, self.embed_dim)
+        )
+        c2 = c2 + level_embed[0].astype(c2.dtype)
+        c3 = c3 + level_embed[1].astype(c3.dtype)
+        c4 = c4 + level_embed[2].astype(c4.dtype)
+        c = jnp.concatenate([c2, c3, c4], axis=1)
+        n2, n3 = c2.shape[1], c3.shape[1]
+
+        # ---- ViT stream
+        tokens, H, W = PatchEmbed(
+            embed_dim=self.embed_dim, patch_size=self.patch_size,
+            dtype=self.dtype, name="patch_embed",
+        )(x_rgb)
+        grid = self.pretrained_size // self.patch_size
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
+        )
+        if (grid, grid) != (H, W):
+            pos = resize_bicubic(pos, (H, W))
+        tokens = tokens + pos.reshape(1, H * W, self.embed_dim).astype(tokens.dtype)
+        if self.drop_rate > 0:
+            tokens = nn.Dropout(self.drop_rate)(tokens, deterministic=deterministic)
+
+        pyr_shapes = (
+            (H_img // 8, W_img // 8),
+            (H_img // 16, W_img // 16),
+            (H_img // 32, W_img // 32),
+        )
+
+        stage_cls = InteractionBlock
+        if self.with_cp and train:
+            stage_cls = nn.remat(InteractionBlock, prevent_cse=False)
+
+        outs = []
+        xt = tokens
+        for si, span in enumerate(self.interaction_indexes):
+            block_ids = tuple(range(span[0], span[-1] + 1))
+            block_windows = tuple(
+                0 if i in self.global_attn_indexes else self.window_size
+                for i in block_ids
+            )
+            xt, c = stage_cls(
+                dim=self.embed_dim,
+                hw=(H, W),
+                pyramid_shapes=pyr_shapes,
+                block_ids=block_ids,
+                block_windows=block_windows,
+                vit_num_heads=self.num_heads,
+                vit_mlp_ratio=self.mlp_ratio,
+                vit_input_size=(grid, grid),
+                num_heads=self.deform_num_heads,
+                n_points=self.n_points,
+                init_values=self.init_values,
+                drop_path=self.drop_path_rate,
+                with_cffn=self.with_cffn,
+                cffn_ratio=self.cffn_ratio,
+                deform_ratio=self.deform_ratio,
+                extra_extractor=(
+                    si == len(self.interaction_indexes) - 1
+                ) and self.use_extra_extractor,
+                deterministic=deterministic,
+                dtype=self.dtype,
+                name=f"interactions_{si}",
+            )(xt, c)
+            outs.append(xt.reshape(B, H, W, self.embed_dim))
+
+        # ---- pyramid assembly (NHWC)
+        c1 = c1.reshape(B, H * 4, W * 4, self.embed_dim)
+        c2 = c[:, :n2].reshape(B, H * 2, W * 2, self.embed_dim)
+        c3 = c[:, n2 : n2 + n3].reshape(B, H, W, self.embed_dim)
+        c4 = c[:, n2 + n3 :].reshape(B, H // 2, W // 2, self.embed_dim)
+        c1 = nn.ConvTranspose(
+            self.embed_dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+            kernel_init=fan_out_conv_init, name="up",
+        )(c2) + c1
+
+        if self.add_vit_feature:
+            x1, x2, x3, x4 = outs
+            x1 = resize_bilinear(x1, (H * 4, W * 4))
+            x2 = resize_bilinear(x2, (H * 2, W * 2))
+            x4 = resize_bilinear(x4, (H // 2, W // 2))
+            c1, c2, c3, c4 = c1 + x1, c2 + x2, c3 + x3, c4 + x4
+
+        f1 = BatchNorm(dtype=self.dtype, name="norm1")(c1, train=train)
+        f2 = BatchNorm(dtype=self.dtype, name="norm2")(c2, train=train)
+        f3 = BatchNorm(dtype=self.dtype, name="norm3")(c3, train=train)
+        f4 = BatchNorm(dtype=self.dtype, name="norm4")(c4, train=train)
+        return [f1, f2, f3, f4]

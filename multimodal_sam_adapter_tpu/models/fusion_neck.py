@@ -1,0 +1,247 @@
+"""RoadFormer2-style cross-modal fusion neck (NHWC, flax).
+
+Re-design of the neck in reference
+mmseg_custom/models/backbones/adapter_modules_multimodal_mix_mod_new_in_twin_convnext_new_with_cp.py:62-434.
+Per pyramid level, the twin-branch concat feature is split back into RGB/aux
+halves; each half goes through a global channel-attention encoder (GFE) and
+a MobileNetV2-style local encoder; the global halves are fused by a
+bidirectional cross-modal channel attention (GFFM) and recalibrated (FFRM);
+local halves pass a gated-dwconv MLP; the two paths blend via learnable
+scalars (Scale2) and a coordinate attention (CA) finishes each level.
+
+All attention here is *channel* attention (CxC matrices) — tiny matmuls that
+XLA maps straight onto the MXU; the spatial extent only enters GFFM's
+LayerNorm over H*W (so the neck is tied to a static feature scale, as in the
+reference where `img_scale` fixes `num_feats`).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import BatchNorm, GroupNorm, LayerNorm, Scale, Scale2, h_swish
+
+
+class ChannelAttention(nn.Module):
+    """AttentionBase (reference :72-106): transposed (channel) attention.
+
+    qkv via grouped 1x1 then grouped 3x3 convs; per head, q/k are
+    L2-normalized over the spatial axis and attention is (C/head x C/head).
+    Residual is applied with a learnable scalar (scale2).
+    """
+
+    dim: int
+    num_heads: int = 8
+    groups: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        qkv = nn.Conv(
+            self.dim * 3, (1, 1), feature_group_count=self.groups, use_bias=False,
+            dtype=self.dtype, name="qkv1",
+        )(x)
+        qkv = nn.Conv(
+            self.dim * 3, (3, 3), padding=[(1, 1), (1, 1)],
+            feature_group_count=self.groups, use_bias=False,
+            dtype=self.dtype, name="qkv2",
+        )(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            # (B, H, W, C) -> (B, heads, C/heads, HW)
+            t = t.reshape(B, H * W, self.num_heads, C // self.num_heads)
+            return t.transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        scale = self.param("scale", nn.initializers.ones, (self.num_heads, 1, 1))
+        attn = jnp.einsum("bhcn,bhdn->bhcd", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn * scale.astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn.astype(v.dtype), v)
+        out = out.transpose(0, 3, 1, 2).reshape(B, H, W, C)
+        out = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="proj")(out)
+        scale2 = self.param("scale2", nn.initializers.ones, ())
+        return x + out * scale2.astype(x.dtype)
+
+
+class GFE(nn.Module):
+    """Global feature encoder: x + ChannelAttention(RestormerLN(x))."""
+
+    dim: int
+    num_heads: int = 8
+    groups: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = ChannelAttention(
+            dim=self.dim, num_heads=self.num_heads, groups=self.groups,
+            dtype=self.dtype, name="attn",
+        )(y)
+        return x + y
+
+
+class GatedDWConvMlp(nn.Module):
+    """Mlp (reference :107-129): 1x1 expand(2x hidden) -> dwconv 3x3 (2 ch per
+    group) -> gelu(x1)*x2 gate -> 1x1 project."""
+
+    in_features: int
+    ffn_expansion_factor: float = 1.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.in_features * self.ffn_expansion_factor)
+        x = nn.Conv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_in")(x)
+        x = nn.Conv(
+            hidden * 2, (3, 3), padding=[(1, 1), (1, 1)],
+            feature_group_count=hidden, use_bias=False, dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = nn.gelu(x1, approximate=False) * x2
+        return nn.Conv(self.in_features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="project_out")(x)
+
+
+class MobileNetV2Block(nn.Module):
+    """Local encoder (reference :313-334): inverted bottleneck scaled by a
+    zero-init scalar, residual."""
+
+    channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.channels * 2
+        y = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="expand")(x)
+        y = jnp.clip(y, 0.0, 6.0)
+        y = nn.Conv(hidden, (3, 3), padding=[(1, 1), (1, 1)],
+                    feature_group_count=hidden, use_bias=False,
+                    dtype=self.dtype, name="dw")(y)
+        y = jnp.clip(y, 0.0, 6.0)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project")(y)
+        s = self.param("scale", nn.initializers.zeros, ())
+        return y * s.astype(x.dtype) + x
+
+
+class GFFM(nn.Module):
+    """Heterogeneous fusion (reference :259-299): bidirectional cross-modal
+    channel attention with zero-init residual scales, then LayerNorm over the
+    flattened spatial axis (weight shape = H*W, tied to feat_scale)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xy):
+        B, H, W, C2 = xy.shape
+        C = C2 // 2
+        x, y = jnp.split(xy, 2, axis=-1)
+        # (B, C, HW)
+        fx = x.reshape(B, H * W, C).transpose(0, 2, 1)
+        fy = y.reshape(B, H * W, C).transpose(0, 2, 1)
+        ex = jnp.einsum("bcn,bdn->bcd", fx, fy, preferred_element_type=jnp.float32)
+        ey = jnp.einsum("bcn,bdn->bcd", fy, fx, preferred_element_type=jnp.float32)
+        ax = jax.nn.softmax(ex, axis=-1).astype(fy.dtype)
+        ay = jax.nn.softmax(ey, axis=-1).astype(fx.dtype)
+        outx = jnp.einsum("bcd,bdn->bcn", ax, fy)
+        outy = jnp.einsum("bcd,bdn->bcn", ay, fx)
+        outx = Scale(0.0, name="gammax")(outx) + fx
+        outy = Scale(0.0, name="gammay")(outy) + fy
+        out = jnp.concatenate([outx, outy], axis=1)  # (B, 2C, HW)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
+        return out.transpose(0, 2, 1).reshape(B, H, W, C2)
+
+
+class FFRM(nn.Module):
+    """Fused feature recalibration (reference :153-177): squeeze-excite with
+    conv+GN+ReLU on the pooled vector, sigmoid gate, residual add."""
+
+    channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        a = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_atten")(pooled)
+        a = GroupNorm(num_groups=32, dtype=self.dtype, name="norm")(a)
+        a = nn.relu(a)
+        a = nn.sigmoid(a)
+        return x + x * a
+
+
+class CoordinateAttention(nn.Module):
+    """CA block (reference :191-246): pooled-axis attention with h-swish."""
+
+    channels: int
+    reduction: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        mip = max(8, self.channels // self.reduction)
+        x_h = jnp.mean(x, axis=2)  # (B, H, C) — pool over W
+        x_w = jnp.mean(x, axis=1)  # (B, W, C) — pool over H
+        y = jnp.concatenate([x_h, x_w], axis=1)[:, :, None, :]  # (B, H+W, 1, C)
+        y = nn.Conv(mip, (1, 1), dtype=self.dtype, name="conv1")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn1")(y, train=train)
+        y = h_swish(y)
+        a_h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv_h")(
+            y[:, :H]
+        )  # (B, H, 1, C)
+        a_w = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv_w")(
+            y[:, H:]
+        )  # (B, W, 1, C)
+        a_h = nn.sigmoid(a_h).reshape(B, H, 1, C)
+        a_w = nn.sigmoid(a_w).reshape(B, 1, W, C)
+        return x + x * a_w * a_h
+
+
+class RoadFormer2Neck(nn.Module):
+    """Per-level fusion of twin-branch pyramid features (reference :336-434)."""
+
+    in_channels: Sequence[int]  # per-level concat channels (2x branch width)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        assert len(feats) == len(self.in_channels)
+        outs = []
+        for i, feat in enumerate(feats):
+            ch = self.in_channels[i]
+            half = ch // 2
+            rgb, sne = jnp.split(feat, 2, axis=-1)
+            rgb_g = GFE(dim=half, num_heads=8, groups=32, dtype=self.dtype,
+                        name=f"gfe_rgb{i}")(rgb)
+            sne_g = GFE(dim=half, num_heads=8, groups=32, dtype=self.dtype,
+                        name=f"gfe_sne{i}")(sne)
+            rgb_l = MobileNetV2Block(channels=half, dtype=self.dtype,
+                                     name=f"local_rgb{i}")(rgb)
+            sne_l = MobileNetV2Block(channels=half, dtype=self.dtype,
+                                     name=f"local_sne{i}")(sne)
+            g = jnp.concatenate([rgb_g, sne_g], axis=-1)
+            l = jnp.concatenate([rgb_l, sne_l], axis=-1)
+            g = GFFM(dtype=self.dtype, name=f"fuse{i}")(g)
+            l = GatedDWConvMlp(in_features=ch, ffn_expansion_factor=1.0,
+                               dtype=self.dtype, name=f"detail{i}")(l)
+            g = FFRM(channels=ch, dtype=self.dtype, name=f"enhance{i}")(g)
+            merged = Scale2(name=f"blend{i}")(g, l)
+            merged = CoordinateAttention(channels=ch, dtype=self.dtype,
+                                         name=f"ca{i}")(merged, train=train)
+            outs.append(merged)
+        return outs

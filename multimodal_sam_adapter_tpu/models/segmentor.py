@@ -1,0 +1,74 @@
+"""EncoderDecoder segmentor: backbone + SegFormer head + inference modes.
+
+Re-design of reference mmseg_custom/models/segmentors/encoder_decoder.py —
+an nn.Module for the core forward plus a thin functional inference engine:
+
+- `__call__`: backbone -> head -> logits resized to the input size (the
+  `encode_decode` path, reference :87-117)
+- `loss`: OHEM CE on stride-4 logits resized to label size
+- inference modes (reference test modes :433): 'whole', 'whole_dim'
+  (resize logits to cfg dim), 'whole_dim_cut' (resize then crop, for
+  non-square FMB), 'slide' (overlap-window logit accumulation with count
+  normalization) — implemented in engine/inference.py over jitted
+  `encode_decode` calls so every window shape compiles exactly once.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.interpolate import resize_bilinear
+from .backbone import SAMAdapterBimodal
+from .losses import ohem_cross_entropy
+from .segformer_head import SegformerHead
+
+
+class EncoderDecoder(nn.Module):
+    """Segmentor. Returns logits at the input resolution (NHWC)."""
+
+    num_classes: int = 25
+    head_channels: int = 512
+    dropout_ratio: float = 0.1
+    align_corners: bool = False
+    backbone_cfg: Optional[dict] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        cfg = dict(self.backbone_cfg or {})
+        cfg.setdefault("dtype", self.dtype)
+        self.backbone = SAMAdapterBimodal(**cfg, name="backbone")
+        self.decode_head = SegformerHead(
+            num_classes=self.num_classes,
+            channels=self.head_channels,
+            dropout_ratio=self.dropout_ratio,
+            align_corners=self.align_corners,
+            dtype=self.dtype,
+            name="decode_head",
+        )
+
+    def __call__(self, img, train: bool = False):
+        feats = self.backbone(img, train=train)
+        logits = self.decode_head(feats, train=train)
+        logits = resize_bilinear(logits, img.shape[1:3])
+        return logits
+
+    def features(self, img, train: bool = False):
+        return self.backbone(img, train=train)
+
+    def loss(self, img, gt_seg, ignore_index: int = 255,
+             ohem_thresh: float = 0.7, ohem_min_kept: int = 100_000):
+        """Training loss: OHEM CE on logits resized to the label grid.
+
+        The reference computes the loss on logits resized to the label size
+        (BaseDecodeHead.losses -> resize to seg_label). gt_seg: (B, H, W).
+        """
+        feats = self.backbone(img, train=True)
+        logits = self.decode_head(feats, train=True)
+        logits = resize_bilinear(logits, gt_seg.shape[1:3])
+        loss = ohem_cross_entropy(
+            logits, gt_seg, ignore_index=ignore_index,
+            thresh=ohem_thresh, min_kept=ohem_min_kept,
+        )
+        return loss, logits

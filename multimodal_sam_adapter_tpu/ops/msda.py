@@ -1,0 +1,173 @@
+"""Multi-scale deformable attention, TPU-native.
+
+This replaces the reference's 1.7k-LoC CUDA extension
+(reference ops/src/cuda/ms_deform_im2col_cuda.cuh) with an XLA program:
+the scattered bilinear sampling is expressed as four clamped gathers
+(`take_along_axis`) whose bilinear weights, zero-padding masks, and
+attention weights are folded into a single multiply-accumulate that XLA
+fuses. Gradients come from JAX autodiff (gather -> scatter-add), matching
+the CUDA col2im backward semantics. The numerical spec is the pure-torch
+`ms_deform_attn_core_pytorch` (reference ops/functions/ms_deform_attn_func.py:53-75):
+per-level F.grid_sample(bilinear, zeros padding, align_corners=False)
+followed by an attention-weighted sum. `tests/test_msda.py` checks this
+implementation against that spec.
+
+Unlike the reference (which hard-errors on CPU,
+ops/src/cpu/ms_deform_attn_cpu.cpp), this implementation runs on any XLA
+backend.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Multi-scale deformable attention core.
+
+    Args:
+      value: (B, S, M, D) flattened multi-level values, S = sum(H_l*W_l).
+      spatial_shapes: static list of (H_l, W_l) per level.
+      sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
+      attention_weights: (B, Lq, M, L, P), softmaxed over (L, P).
+
+    Returns:
+      (B, Lq, M*D)
+    """
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    assert S == sum(h * w for h, w in spatial_shapes)
+
+    out = jnp.zeros((B, M, Lq, D), dtype=value.dtype)
+    offset = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        val = value[:, offset : offset + H * W]  # (B, HW, M, D)
+        offset += H * W
+        val = val.transpose(0, 2, 1, 3)  # (B, M, HW, D)
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
+        # grid_sample(align_corners=False) pixel coords: loc*size - 0.5
+        x = loc[..., 0] * W - 0.5
+        y = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        att = attention_weights[:, :, :, lvl]  # (B, Lq, M, P)
+
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0 + dx
+                yi = y0 + dy
+                wgt = (tx if dx else 1.0 - tx) * (ty if dy else 1.0 - ty)
+                # zeros padding: out-of-bounds corners contribute nothing
+                valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+                idx = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
+                g = jnp.take_along_axis(val, idx[..., None], axis=2)
+                w_full = (wgt * valid.astype(wgt.dtype) * att).astype(value.dtype)
+                w_full = w_full.transpose(0, 2, 1, 3)  # (B, M, Lq, P)
+                out = out + jnp.einsum(
+                    "bmqp,bmqpd->bmqd",
+                    w_full,
+                    g.reshape(B, M, Lq, P, D),
+                )
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+
+
+def msda_directional_bias_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
+    """Directional grid init for the sampling-offset bias.
+
+    Each head starts pointing at a distinct compass direction, with the p-th
+    point (p+1) steps out (reference ops/modules/ms_deform_attn.py:64-75).
+    """
+    thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (M, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for p in range(n_points):
+        grid[:, :, p, :] *= p + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MSDeformAttention(nn.Module):
+    """MSDeformAttn module: projections + sampling + core op.
+
+    Mirrors reference ops/modules/ms_deform_attn.py:28-130 — query-conditioned
+    sampling offsets and attention weights, `ratio`-shrunk value projection
+    (deform_ratio=0.5 in all MM-SAM configs), and the directional offset-bias
+    init — re-expressed as a flax module over the XLA core op.
+    """
+
+    d_model: int
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    ratio: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, reference_points, input_flatten, spatial_shapes):
+        """
+        Args:
+          query: (B, Lq, C)
+          reference_points: (B, Lq, n_levels, 2) in [0, 1] (x, y)
+          input_flatten: (B, S, C) with S = sum(H_l*W_l)
+          spatial_shapes: static list of (H_l, W_l)
+        Returns: (B, Lq, C)
+        """
+        B, Lq, _ = query.shape
+        S = input_flatten.shape[1]
+        d_value = int(self.d_model * self.ratio)
+
+        value = nn.Dense(d_value, dtype=self.dtype, name="value_proj")(input_flatten)
+        value = value.reshape(B, S, self.n_heads, d_value // self.n_heads)
+
+        offs = nn.Dense(
+            self.n_heads * self.n_levels * self.n_points * 2,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                msda_directional_bias_init(self.n_heads, self.n_levels, self.n_points),
+                dtype,
+            ),
+            name="sampling_offsets",
+        )(query)
+        offs = offs.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points, 2)
+
+        attn = nn.Dense(
+            self.n_heads * self.n_levels * self.n_points,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query)
+        attn = attn.reshape(B, Lq, self.n_heads, self.n_levels * self.n_points)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points)
+
+        # normalize offsets by each level's (W, H)
+        normalizer = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], dtype=offs.dtype
+        )  # (L, 2) as (x=W, y=H)
+        loc = (
+            reference_points[:, :, None, :, None, :]
+            + offs / normalizer[None, None, None, :, None, :]
+        )
+
+        out = ms_deform_attn(value, tuple(spatial_shapes), loc, attn)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
+        return out
