@@ -16,6 +16,7 @@ reference where `img_scale` fixes `num_feats`).
 """
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -178,7 +179,8 @@ class FFRM(nn.Module):
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         a = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv_atten")(pooled)
-        a = GroupNorm(num_groups=32, dtype=self.dtype, name="norm")(a)
+        a = GroupNorm(num_groups=math.gcd(32, self.channels),
+                      dtype=self.dtype, name="norm")(a)
         a = nn.relu(a)
         a = nn.sigmoid(a)
         return x + x * a
@@ -226,9 +228,12 @@ class RoadFormer2Neck(nn.Module):
             ch = self.in_channels[i]
             half = ch // 2
             rgb, sne = jnp.split(feat, 2, axis=-1)
-            rgb_g = GFE(dim=half, num_heads=8, groups=32, dtype=self.dtype,
+            # groups=32 in all shipped configs (channels are multiples of
+            # 32); gcd keeps tiny test configs valid
+            groups = math.gcd(32, half)
+            rgb_g = GFE(dim=half, num_heads=8, groups=groups, dtype=self.dtype,
                         name=f"gfe_rgb{i}")(rgb)
-            sne_g = GFE(dim=half, num_heads=8, groups=32, dtype=self.dtype,
+            sne_g = GFE(dim=half, num_heads=8, groups=groups, dtype=self.dtype,
                         name=f"gfe_sne{i}")(sne)
             rgb_l = MobileNetV2Block(channels=half, dtype=self.dtype,
                                      name=f"local_rgb{i}")(rgb)
