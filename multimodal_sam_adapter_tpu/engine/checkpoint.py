@@ -1,0 +1,144 @@
+"""Checkpoint persistence: orbax save/restore + .pth ingestion entry points.
+
+Replaces the reference's mmcv CheckpointHook + load_checkpoint
+(SURVEY.md section 5 'Checkpoint / resume'):
+- `save_checkpoint` / `restore_checkpoint`: orbax, keeping at most
+  `max_keep` checkpoints plus an optional 'best' (save_best='mIoU')
+- `load_torch_checkpoint`: reads a .pth (torch.load) into numpy
+- `ingest_sam_pth` / `ingest_convnext_pth`: pretrained ingestion with the
+  geometric remaps (engine/convert.py)
+- resume carries step/optimizer state ('--resume-from'); weights-only load
+  ('--load-from') restores just params/batch_stats
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1,
+                    tag: Optional[str] = None):
+    """Save {'step', 'params', 'batch_stats', 'opt_state'} under
+    ckpt_dir/step_<N> (or ckpt_dir/<tag>)."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    name = tag or f"step_{step}"
+    path = osp.abspath(osp.join(ckpt_dir, name))
+    payload = {
+        "step": np.asarray(step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    _ckptr().save(path, payload, force=True)
+    if tag is None and max_keep > 0:
+        steps = sorted(
+            (int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+             if d.startswith("step_")),
+        )
+        for s in steps[:-max_keep]:
+            import shutil
+
+            shutil.rmtree(osp.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
+    return path
+
+
+def restore_checkpoint(path: str) -> Dict[str, Any]:
+    return _ckptr().restore(osp.abspath(path))
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not osp.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    if not steps:
+        return None
+    best = max(steps, key=lambda d: int(d.split("_")[1]))
+    return osp.join(ckpt_dir, best)
+
+
+# ---------------------------------------------------------------------------
+# torch .pth ingestion
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """torch.load -> flat {name: np.ndarray}, unwrapping common containers
+    and the DDP 'module.' prefix (reference mmcv_custom/checkpoint.py:43-109)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("module."):
+            k = k[7:]
+        if hasattr(v, "numpy"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def ingest_sam_pth(path: str, interaction_indexes=((0, 5), (6, 11), (12, 17),
+                                                   (18, 23)),
+                   keep_prefix: str = "image_encoder.") -> dict:
+    """SAM .pth (full SAM or encoder-only) -> adapter backbone params.
+
+    Mirrors tools/SAM_checkpoint_convert.py (keep image_encoder.*, drop
+    neck.*) then converts layouts (engine/convert.py).
+    """
+    from .convert import convert_sam_encoder
+
+    sd = load_torch_checkpoint(path)
+    if any(k.startswith(keep_prefix) for k in sd):
+        sd = {k[len(keep_prefix):]: v for k, v in sd.items()
+              if k.startswith(keep_prefix)}
+    sd = {k: v for k, v in sd.items() if not k.startswith("neck.")}
+    return convert_sam_encoder(sd, interaction_indexes)
+
+
+def ingest_convnext_pth(path: str) -> dict:
+    """ImageNet ConvNeXt .pth -> TwinConvNeXt params (both branches)."""
+    from .convert import convert_twin_convnext
+
+    return convert_twin_convnext(load_torch_checkpoint(path))
+
+
+def merge_pretrained(params: dict, pretrained: dict) -> dict:
+    """Recursively overwrite init params with pretrained leaves (strict=False:
+    unmatched pretrained keys raise, missing ones keep their init)."""
+    import copy
+
+    out = copy.deepcopy(params)
+
+    def rec(dst, src, path=""):
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"pretrained key {path + k} not in model params")
+            if isinstance(v, dict):
+                rec(dst[k], v, path + k + "/")
+            else:
+                want = np.shape(dst[k])
+                got = np.shape(v)
+                if want != got:
+                    raise ValueError(
+                        f"shape mismatch at {path + k}: model {want} vs "
+                        f"checkpoint {got}"
+                    )
+                dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+
+    rec(out, pretrained)
+    return out

@@ -1,0 +1,160 @@
+"""Inference engine: whole / whole_dim / whole_dim_cut / slide modes.
+
+Re-design of reference encoder_decoder.py:191-469 + apis/test_bs.py:
+- every distinct crop shape compiles exactly once (static shapes under jit)
+- slide mode: the overlap-window grid is unrolled at trace time into a
+  batched crop stack -> ONE batched forward -> scatter-add + count
+  normalization, instead of the reference's per-window python loop
+- flip TTA and multi-scale logit averaging (aug_test)
+- softmax before resize-undo ordering matches the reference
+  (inference -> resize -> softmax -> flip-undo, encoder_decoder.py:433-469)
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.interpolate import resize_bilinear
+
+
+class InferenceEngine:
+    """Wraps a flax EncoderDecoder + variables into jitted inference fns."""
+
+    def __init__(self, model, variables, test_cfg: dict):
+        self.model = model
+        self.variables = variables
+        self.test_cfg = dict(test_cfg)
+        self._fns = {}
+
+    # -- core: logits at input resolution for one static shape
+    def _encode_decode(self, shape: Tuple[int, ...]):
+        if ("ed", shape) not in self._fns:
+
+            @jax.jit
+            def fn(variables, img):
+                return self.model.apply(variables, img, train=False)
+
+            self._fns[("ed", shape)] = fn
+        return self._fns[("ed", shape)]
+
+    def logits(self, img: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, C_in) -> (B, H, W, num_classes)."""
+        return self._encode_decode(tuple(img.shape))(self.variables, img)
+
+    # -- modes -------------------------------------------------------------
+    def whole(self, img, ori_shape=None, rescale=True):
+        out = self.logits(img)
+        if rescale and ori_shape is not None and tuple(ori_shape) != out.shape[1:3]:
+            out = resize_bilinear(out, ori_shape)
+        return out
+
+    def whole_dim(self, img, dim, rescale=True):
+        out = self.logits(img)
+        if rescale:
+            out = resize_bilinear(out, dim)
+        return out
+
+    def whole_dim_cut(self, img, dim, cut_dim, rescale=False):
+        out = self.logits(img)
+        if rescale:
+            out = resize_bilinear(out, dim)
+        # cut_dim is (w, h): crop [:h, :w] (reference encoder_decoder.py:364-414)
+        return out[:, : cut_dim[1], : cut_dim[0]]
+
+    def slide(self, img, crop_size, stride):
+        """Overlap-window accumulate with count normalization.
+
+        The crop grid is static: all windows are gathered into a batch,
+        run through ONE jitted batched forward, and scatter-added back.
+        """
+        B, H, W, _ = img.shape
+        ch, cw = crop_size
+        sh, sw = stride
+        h_grids = max(H - ch + sh - 1, 0) // sh + 1
+        w_grids = max(W - cw + sw - 1, 0) // sw + 1
+        boxes = []
+        for hi in range(h_grids):
+            for wi in range(w_grids):
+                y1 = min(hi * sh, max(H - ch, 0))
+                x1 = min(wi * sw, max(W - cw, 0))
+                boxes.append((y1, x1))
+        key = ("slide", tuple(img.shape), crop_size, stride)
+        if key not in self._fns:
+            boxes_arr = jnp.asarray(boxes, jnp.int32)
+
+            @jax.jit
+            def fn(variables, img):
+                crops = jnp.stack([
+                    jax.lax.dynamic_slice(
+                        img[0], (y1, x1, 0), (ch, cw, img.shape[3])
+                    )
+                    for (y1, x1) in boxes
+                ])
+                logits = self.model.apply(variables, crops, train=False)
+                C = logits.shape[-1]
+                preds = jnp.zeros((H, W, C), logits.dtype)
+                count = jnp.zeros((H, W, 1), logits.dtype)
+                for i, (y1, x1) in enumerate(boxes):
+                    preds = jax.lax.dynamic_update_slice(
+                        preds,
+                        jax.lax.dynamic_slice(
+                            preds, (y1, x1, 0), (ch, cw, C)
+                        ) + logits[i],
+                        (y1, x1, 0),
+                    )
+                    count = jax.lax.dynamic_update_slice(
+                        count,
+                        jax.lax.dynamic_slice(count, (y1, x1, 0), (ch, cw, 1))
+                        + 1.0,
+                        (y1, x1, 0),
+                    )
+                return (preds / count)[None]
+
+            self._fns[key] = fn
+        assert B == 1, "slide inference expects batch 1 per image"
+        return self._fns[key](self.variables, img)
+
+    # -- public API ---------------------------------------------------------
+    def inference(self, img, ori_shape=None, flip: bool = False,
+                  flip_direction: str = "horizontal"):
+        """Full single-scale inference with softmax (+ flip undo)."""
+        cfg = self.test_cfg
+        mode = cfg.get("mode", "whole")
+        if mode == "whole":
+            out = self.whole(img, ori_shape, cfg.get("rescale", True))
+        elif mode == "whole_dim":
+            out = self.whole_dim(img, cfg["dim"], cfg.get("rescale", True))
+        elif mode == "whole_dim_cut":
+            out = self.whole_dim_cut(img, cfg["dim"], cfg["cut_dim"],
+                                     cfg.get("rescale", False))
+        elif mode == "slide":
+            out = self.slide(img, tuple(cfg["crop_size"]), tuple(cfg["stride"]))
+            if ori_shape is not None and tuple(ori_shape) != out.shape[1:3]:
+                out = resize_bilinear(out, ori_shape)
+        else:
+            raise ValueError(f"unknown test mode {mode}")
+        probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+        if flip:
+            axis = 2 if flip_direction == "horizontal" else 1
+            probs = jnp.flip(probs, axis=axis)
+        return probs
+
+    def predict(self, img, ori_shape=None) -> np.ndarray:
+        """argmax class map, host numpy (reference simple_test)."""
+        probs = self.inference(img, ori_shape)
+        return np.asarray(jnp.argmax(probs, axis=-1), dtype=np.int64)
+
+    def aug_test(self, imgs: List[jnp.ndarray], flips: List[bool],
+                 ori_shape) -> np.ndarray:
+        """Multi-scale + flip TTA: average softmax over augmentations
+        (reference encoder_decoder.py:509-546)."""
+        acc = None
+        for img, flip in zip(imgs, flips):
+            p = self.inference(img, ori_shape, flip=flip)
+            acc = p if acc is None else acc + p
+        acc = acc / len(imgs)
+        return np.asarray(jnp.argmax(acc, axis=-1), dtype=np.int64)

@@ -1,0 +1,174 @@
+"""Optimizer: layer-decay AdamW + poly LR with exp warmup + grad accumulation.
+
+Re-implements the reference training recipe (SURVEY.md 2.4/2.5) as optax
+transforms:
+- LayerDecayOptimizerConstructor (mmcv_custom/layer_decay_optimizer_constructor.py):
+  per-param lr scale rate^(L-1-layer_id) with L = num_layers+2; layer id 0
+  for patch_embed/pos_embed/twin_conv, N+1 for ViT block N, L-1 otherwise.
+  No weight decay for 1-D params/biases (except inside twin_conv) and for
+  everything in spm.smart_fusion.
+- poly LR power 0.9 with exponential warmup (mmcv PolyLrUpdaterHook,
+  by_epoch semantics: the poly factor advances per epoch; warmup per iter:
+  lr *= ratio^(1 - t/warmup_iters)).
+- GradientCumulativeOptimizerHook == optax.MultiSteps(every_k).
+
+All of this is pure pytree bookkeeping — one fused optimizer update under
+jit; under a batch-sharded mesh the update runs replicated with grads
+already psum-reduced by XLA.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# param classification
+# ---------------------------------------------------------------------------
+
+def vit_layer_id(path: str, num_layers: int) -> int:
+    """Layer id for layer-decay. `path` is '/'-joined flax param path
+    (without the leading 'params').
+
+    Mirrors get_num_layer_for_vit (reference
+    layer_decay_optimizer_constructor.py:21-46) on this package's naming:
+    - pos_embed / patch_embed / spm.twin_conv -> 0
+    - ViT block N (interactions_*/vit_block_N or blocks_N) -> N + 1
+    - everything else -> num_layers + 1  (== L-1 with L = num_layers + 2)
+    """
+    if "pos_embed" in path or "patch_embed" in path:
+        return 0
+    if "twin_conv" in path:
+        return 0
+    m = re.search(r"(?:vit_block|blocks)_(\d+)", path)
+    if m:
+        return int(m.group(1)) + 1
+    return num_layers + 1
+
+
+def wants_weight_decay(path: str, leaf: jnp.ndarray) -> bool:
+    """mmcv no-decay rules on this package's naming."""
+    if "twin_conv" in path:
+        return True  # reference exempts twin_conv from the 1-D rule
+    if "smart_fusion" in path:
+        return False
+    if leaf.ndim <= 1 or path.endswith("/bias"):
+        return False
+    return True
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def layer_decay_scales(params, num_layers: int, decay_rate: float):
+    """Pytree of static lr multipliers rate^(L-1-layer_id), L=num_layers+2."""
+    L = num_layers + 2
+
+    def scale(path, leaf):
+        lid = vit_layer_id(_path_str(path), num_layers)
+        return decay_rate ** (L - 1 - lid)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def weight_decay_mask(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: wants_weight_decay(_path_str(p), x), params
+    )
+
+
+# ---------------------------------------------------------------------------
+# LR schedule
+# ---------------------------------------------------------------------------
+
+def poly_schedule_with_exp_warmup(
+    base_lr: float,
+    steps_per_epoch: int,
+    max_epochs: int,
+    power: float = 0.9,
+    min_lr: float = 0.0,
+    warmup_epochs: int = 10,
+    warmup_ratio: float = 0.1,
+    by_epoch: bool = True,
+):
+    """mmcv poly policy: lr = (base-min)*(1-progress)^power + min, with
+    exponential warmup lr *= ratio^(1 - t/warmup_iters)."""
+    warmup_iters = warmup_epochs * steps_per_epoch
+    max_iters = max_epochs * steps_per_epoch
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        if by_epoch:
+            progress = jnp.floor(step / steps_per_epoch) / max_epochs
+        else:
+            progress = step / max_iters
+        coeff = jnp.power(jnp.clip(1.0 - progress, 0.0, 1.0), power)
+        lr = (base_lr - min_lr) * coeff + min_lr
+        if warmup_iters > 0:
+            t = jnp.clip(step / warmup_iters, 0.0, 1.0)
+            warm = jnp.power(warmup_ratio, 1.0 - t)
+            lr = jnp.where(step < warmup_iters, lr * warm, lr)
+        return lr
+
+    return sched
+
+
+# ---------------------------------------------------------------------------
+# optimizer assembly
+# ---------------------------------------------------------------------------
+
+def scale_by_tree(scales) -> optax.GradientTransformation:
+    """Multiply updates elementwise by a static pytree of scalars."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree.map(lambda u, s: u * s, updates, scales)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    params,
+    base_lr: float = 2e-4,
+    weight_decay: float = 0.01,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    num_layers: int = 24,
+    layer_decay_rate: float = 0.9,
+    steps_per_epoch: int = 1000,
+    max_epochs: int = 100,
+    power: float = 0.9,
+    min_lr: float = 0.0,
+    warmup_epochs: int = 10,
+    warmup_ratio: float = 0.1,
+    grad_accum_steps: int = 1,
+    schedule=None,
+) -> optax.GradientTransformation:
+    """AdamW with per-param layer-decay lr, poly/exp-warmup schedule, and
+    gradient accumulation. Matches torch AdamW semantics:
+    p -= lr_group * (adam_dir + wd * p)."""
+    if schedule is None:
+        schedule = poly_schedule_with_exp_warmup(
+            base_lr, steps_per_epoch, max_epochs, power, min_lr,
+            warmup_epochs, warmup_ratio,
+        )
+    scales = layer_decay_scales(params, num_layers, layer_decay_rate)
+    mask = weight_decay_mask(params)
+    tx = optax.chain(
+        optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        optax.add_decayed_weights(weight_decay, mask=mask),
+        scale_by_tree(scales),
+        optax.scale_by_schedule(schedule),
+        optax.scale(-1.0),
+    )
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx

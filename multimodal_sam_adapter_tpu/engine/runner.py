@@ -1,0 +1,186 @@
+"""Epoch-based training runner: train loop + eval hook + early stopping +
+checkpointing + logging.
+
+Replaces the reference's mmcv EpochBasedRunner + hook stack
+(mmcv_custom/epoch_based_runner.py, early_stopping.py, EvalHook in
+apis/evaluation/eval_hooks.py, CheckpointHook/TextLoggerHook config):
+episodic logic is plain Python; the hot path stays one jitted step.
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+
+class EarlyStopping:
+    """Metric-plateau stop (reference mmcv_custom/early_stopping.py:15-160)."""
+
+    def __init__(self, monitor: str = "mIoU", rule: str = "greater",
+                 patience: int = 10, min_delta: float = 0.0):
+        self.monitor = monitor
+        self.rule = rule
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.wait = 0
+
+    def update(self, metrics: Dict[str, float]) -> bool:
+        """Returns True when training should stop."""
+        value = metrics.get(self.monitor)
+        if value is None:
+            return False
+        improved = (
+            self.best is None
+            or (self.rule == "greater" and value > self.best + self.min_delta)
+            or (self.rule == "less" and value < self.best - self.min_delta)
+        )
+        if improved:
+            self.best = value
+            self.wait = 0
+        else:
+            self.wait += 1
+        return self.wait >= self.patience
+
+
+class TrainLogger:
+    """Loss/lr/throughput logging to stdout + jsonl (+ optional TensorBoard)."""
+
+    def __init__(self, work_dir: str, interval: int = 50,
+                 tensorboard: bool = True):
+        self.interval = interval
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.jsonl = open(osp.join(work_dir, "train_log.jsonl"), "a")
+        self.tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(osp.join(work_dir, "tb"))
+            except Exception:
+                self.tb = None
+        self._t0 = time.time()
+        self._count = 0
+
+    def log_step(self, step: int, epoch: int, metrics: Dict[str, float]):
+        self._count += 1
+        if step % self.interval != 0:
+            return
+        dt = time.time() - self._t0
+        ips = self._count / max(dt, 1e-9)
+        rec = {"step": step, "epoch": epoch, "iters_per_s": round(ips, 3),
+               **{k: float(v) for k, v in metrics.items()}}
+        print(json.dumps(rec), flush=True)
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb:
+            for k, v in metrics.items():
+                self.tb.add_scalar(k, float(v), step)
+        self._t0 = time.time()
+        self._count = 0
+
+    def log_eval(self, epoch: int, summary: Dict[str, float]):
+        rec = {"epoch": epoch, "eval": {k: float(v) for k, v in summary.items()}}
+        print(json.dumps(rec), flush=True)
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb:
+            for k, v in summary.items():
+                self.tb.add_scalar(f"val/{k}", float(v), epoch)
+
+
+class EpochRunner:
+    def __init__(
+        self,
+        state,
+        train_step: Callable,
+        train_loader,
+        work_dir: str,
+        max_epochs: int = 100,
+        eval_fn: Optional[Callable] = None,  # state -> summary dict
+        eval_interval: int = 1,
+        save_best: Optional[str] = "mIoU",
+        ckpt_interval: int = 1,
+        max_keep_ckpts: int = 1,
+        early_stopping: Optional[EarlyStopping] = None,
+        log_interval: int = 50,
+        rng=None,
+    ):
+        self.state = state
+        self.train_step = train_step
+        self.train_loader = train_loader
+        self.work_dir = work_dir
+        self.max_epochs = max_epochs
+        self.eval_fn = eval_fn
+        self.eval_interval = eval_interval
+        self.save_best = save_best
+        self.ckpt_interval = ckpt_interval
+        self.max_keep_ckpts = max_keep_ckpts
+        self.early_stopping = early_stopping
+        self.logger = TrainLogger(work_dir, log_interval)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.start_epoch = 0
+        self.best_metric = -np.inf
+        self.stop_training = False
+
+    def resume(self, path: Optional[str] = None, auto: bool = False):
+        if path is None and auto:
+            path = latest_checkpoint(osp.join(self.work_dir, "ckpts"))
+        if path is None:
+            return
+        payload = restore_checkpoint(path)
+        self.state = self.state.replace(
+            step=np.asarray(payload["step"], np.int32),
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+        )
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.start_epoch = int(payload["step"]) // steps_per_epoch
+        print(f"resumed from {path} at step {int(payload['step'])}")
+
+    def load_weights(self, path: str):
+        payload = restore_checkpoint(path)
+        self.state = self.state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"]
+        )
+
+    def run(self):
+        ckpt_dir = osp.join(self.work_dir, "ckpts")
+        for epoch in range(self.start_epoch, self.max_epochs):
+            self.train_loader.set_epoch(epoch)
+            for batch in self.train_loader:
+                jb = {"img": batch["img"], "gt": batch["gt"]}
+                self.state, metrics = self.train_step(self.state, jb, self.rng)
+                self.logger.log_step(
+                    int(self.state.step), epoch,
+                    {"loss": float(metrics["loss"])},
+                )
+                if self.stop_training:
+                    break
+            if (epoch + 1) % self.ckpt_interval == 0:
+                save_checkpoint(ckpt_dir, self.state, int(self.state.step),
+                                self.max_keep_ckpts)
+            if self.eval_fn and (epoch + 1) % self.eval_interval == 0:
+                summary = self.eval_fn(self.state)
+                self.logger.log_eval(epoch, summary)
+                key = self.save_best or "mIoU"
+                val = summary.get(key, -np.inf)
+                if self.save_best and val > self.best_metric:
+                    self.best_metric = val
+                    save_checkpoint(ckpt_dir, self.state,
+                                    int(self.state.step), 0, tag="best")
+                if self.early_stopping and self.early_stopping.update(summary):
+                    print(f"early stopping at epoch {epoch}")
+                    self.stop_training = True
+            if self.stop_training:
+                break
+        return self.state

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Evaluate a trained segmentor (mirrors reference segmentation/test.py).
+
+  python test.py <config-name> <checkpoint> --data-root ... --eval mIoU
+      [--resize-dim H W] [--case ...] [--show-dir DIR] [--format-only]
+      [--max-samples N] [--cfg-options k=v ...]
+"""
+import argparse
+import json
+import os.path as osp
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a segmentor")
+    p.add_argument("config")
+    p.add_argument("checkpoint", help="orbax checkpoint dir (or 'random')")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--eval", nargs="*", default=["mIoU"])
+    p.add_argument("--resize-dim", nargs=2, type=int, default=None)
+    p.add_argument("--case", nargs="*", default=None)
+    p.add_argument("--show-dir", default=None)
+    p.add_argument("--format-only", action="store_true")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_sam_adapter_tpu.configs import get_config
+    from multimodal_sam_adapter_tpu.configs.registry import apply_overrides
+    from multimodal_sam_adapter_tpu.data import build_dataset
+    from multimodal_sam_adapter_tpu.data.pipelines import TestPipeline
+    from multimodal_sam_adapter_tpu.engine.checkpoint import restore_checkpoint
+    from multimodal_sam_adapter_tpu.engine.evaluator import Evaluator
+    from multimodal_sam_adapter_tpu.engine.inference import InferenceEngine
+    from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
+
+    cfg = get_config(args.config)
+    if args.cfg_options:
+        apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
+    if args.resize_dim:
+        cfg["test_cfg"]["dim"] = tuple(args.resize_dim)
+
+    ds = build_dataset(cfg["dataset"], args.data_root, test_mode=True)
+    pipe = TestPipeline(cfg["test_pipeline"], cfg["dataset"]["modalities_ch"])
+
+    m = cfg["model"]
+    model = EncoderDecoder(
+        num_classes=m["num_classes"], head_channels=m["head_channels"],
+        dropout_ratio=m["dropout_ratio"], backbone_cfg=m["backbone"],
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    if args.checkpoint == "random":
+        in_ch = sum(cfg["dataset"]["modalities_ch"])
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, in_ch), jnp.float32), train=False,
+        )
+    else:
+        payload = restore_checkpoint(args.checkpoint)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
+
+    engine = InferenceEngine(model, variables, cfg["test_cfg"])
+    case_aware = args.case is not None or bool(cfg["evaluation"].get("case"))
+    ev = Evaluator(engine, ds, m["num_classes"], case_aware=case_aware,
+                   out_dir=args.show_dir)
+    results = ev.run(pipeline=pipe, max_samples=args.max_samples,
+                     format_only=args.format_only)
+    ev.print_tables(results)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    out_json = osp.join(args.show_dir or ".", f"eval_single_scale_{stamp}.json")
+    with open(out_json, "w") as f:
+        json.dump(
+            {k: v for k, v in results.get("summary", {}).items()}, f, indent=2
+        )
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()

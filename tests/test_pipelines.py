@@ -1,0 +1,115 @@
+"""Data pipeline tests: normalize slicing, pad, crop invariants, loader."""
+import numpy as np
+
+from multimodal_sam_adapter_tpu.data.pipelines import (
+    normalize_multimodal,
+    pad_to_size,
+    random_crop,
+    random_flip,
+    random_scale_resize,
+    resize_multimodal,
+)
+from multimodal_sam_adapter_tpu.data.loader import DataLoader
+
+
+def _sample(h=20, w=30, c=6, with_gt=True):
+    rng = np.random.default_rng(0)
+    s = {"img": rng.uniform(0, 255, (h, w, c)).astype(np.float32)}
+    s["gt"] = rng.integers(0, 5, (h, w)).astype(np.uint8) if with_gt else None
+    return s
+
+
+def test_normalize_norm_by_max_and_bgr_flip():
+    s = _sample()
+    raw = s["img"].copy()
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+    out = normalize_multimodal(
+        s, (3, 3), means=[mean, (0, 0, 0)], stds=[std, (1, 1, 1)],
+        to_rgb=[True, True], norm_by_max=True,
+    )["img"]
+    # RGB slice: BGR->RGB flip then /255, mean/std
+    want_rgb = (raw[..., :3][..., ::-1] / 255.0 - np.array(mean)) / np.array(std)
+    np.testing.assert_allclose(out[..., :3], want_rgb, rtol=1e-5)
+    # aux slice: /255 and channel flip only (mean 0 / std 1)
+    np.testing.assert_allclose(out[..., 3:], raw[..., 3:][..., ::-1] / 255.0,
+                               rtol=1e-5)
+
+
+def test_normalize_muses_rgb_only_255():
+    s = _sample()
+    raw = s["img"].copy()
+    out = normalize_multimodal(
+        s, (3, 3), means=[(0, 0, 0), (1.0, 2.0, 3.0)],
+        stds=[(1, 1, 1), (2.0, 2.0, 2.0)], to_rgb=[True, True],
+        norm_by_max=True, norm_by_max_rgb_only=True,
+    )["img"]
+    np.testing.assert_allclose(out[..., :3], raw[..., :3][..., ::-1] / 255.0,
+                               rtol=1e-5)
+    want_aux = (raw[..., 3:][..., ::-1] - np.array([1, 2, 3.0])) / 2.0
+    np.testing.assert_allclose(out[..., 3:], want_aux, rtol=1e-5)
+
+
+def test_pad_and_crop_shapes():
+    s = _sample(20, 30)
+    s = pad_to_size(s, (32, 32), pad_val=0, seg_pad_val=255)
+    assert s["img"].shape == (32, 32, 6)
+    assert s["gt"].shape == (32, 32)
+    assert (s["gt"][20:, :] == 255).all()
+    rng = np.random.default_rng(1)
+    s = random_crop(s, rng, (16, 16), cat_max_ratio=0.75)
+    assert s["img"].shape == (16, 16, 6)
+    assert s["gt"].shape == (16, 16)
+
+
+def test_flip_consistency():
+    s = _sample()
+    img0, gt0 = s["img"].copy(), s["gt"].copy()
+    rng = np.random.default_rng(2)
+    s = random_flip(s, rng, prob=1.0)
+    np.testing.assert_array_equal(s["img"], img0[:, ::-1])
+    np.testing.assert_array_equal(s["gt"], gt0[:, ::-1])
+
+
+def test_resize_keep_ratio():
+    s = _sample(100, 200)
+    s = resize_multimodal(s, (128, 64), keep_ratio=True)
+    # fit 200x100 (w,h) into long 128 short 64 -> factor 0.64 -> 128x64
+    assert s["img"].shape[:2] == (64, 128)
+    assert s["gt"].shape == (64, 128)
+
+
+class _ToyDataset:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"img": np.full((4, 4, 2), i, np.float32),
+                "gt": np.full((4, 4), i, np.uint8),
+                "meta": {"i": i}}
+
+
+def test_loader_sharding_and_determinism():
+    ds = _ToyDataset(10)
+    seen = set()
+    for shard in range(2):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                        num_shards=2, shard_index=shard)
+        dl.set_epoch(3)
+        for batch in dl:
+            assert batch["img"].shape == (2, 4, 4, 2)
+            seen.update(batch["img"][:, 0, 0, 0].astype(int).tolist())
+    assert seen == set(range(10))
+    # determinism across runs
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                    num_shards=2, shard_index=0)
+    dl.set_epoch(3)
+    a = [b["img"][:, 0, 0, 0].astype(int).tolist() for b in dl]
+    dl2 = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                     num_shards=2, shard_index=0)
+    dl2.set_epoch(3)
+    b = [bb["img"][:, 0, 0, 0].astype(int).tolist() for bb in dl2]
+    assert a == b

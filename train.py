@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Train a multimodal SAM-Adapter segmentor (TPU-native).
+
+Mirrors the reference CLI (reference segmentation/train.py):
+  python train.py <config-name> --data-root ... [--work-dir ...]
+      [--load-from CKPT] [--resume-from CKPT] [--auto-resume]
+      [--seed N] [--deterministic] [--cfg-options k=v ...]
+
+No launcher scripts needed: on multi-host TPU, run the same command on every
+host (jax.distributed.initialize picks up the topology); the mesh spans all
+chips and the data loader shards by process index.
+"""
+import argparse
+import os
+import os.path as osp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a segmentor")
+    p.add_argument("config", help="config name (see configs/registry.py)")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--sam-pretrained", default=None,
+                   help=".pth SAM checkpoint to ingest")
+    p.add_argument("--convnext-pretrained", default=None,
+                   help=".pth ConvNeXt checkpoint to ingest (both branches)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="dotted overrides, e.g. optimizer.base_lr=1e-4")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_sam_adapter_tpu.configs import get_config
+    from multimodal_sam_adapter_tpu.configs.registry import apply_overrides
+    from multimodal_sam_adapter_tpu.data import DataLoader, build_dataset
+    from multimodal_sam_adapter_tpu.data.pipelines import TrainPipeline, TestPipeline
+    from multimodal_sam_adapter_tpu.engine.checkpoint import (
+        ingest_convnext_pth, ingest_sam_pth, merge_pretrained,
+    )
+    from multimodal_sam_adapter_tpu.engine.evaluator import Evaluator
+    from multimodal_sam_adapter_tpu.engine.inference import InferenceEngine
+    from multimodal_sam_adapter_tpu.engine.runner import EarlyStopping, EpochRunner
+    from multimodal_sam_adapter_tpu.engine.train import (
+        init_train_state, make_train_step,
+    )
+    from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
+    from multimodal_sam_adapter_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = get_config(args.config)
+    if args.cfg_options:
+        apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
+    if args.max_epochs:
+        cfg["runner"]["max_epochs"] = args.max_epochs
+        cfg["optimizer"]["max_epochs"] = args.max_epochs
+    work_dir = args.work_dir or osp.join("work_dirs", cfg["name"])
+    os.makedirs(work_dir, exist_ok=True)
+
+    # data
+    train_ds = build_dataset(cfg["dataset"], args.data_root)
+    pipeline = TrainPipeline(cfg["train_pipeline"],
+                             cfg["dataset"]["modalities_ch"])
+    n_proc = jax.process_count()
+    loader = DataLoader(
+        train_ds, pipeline,
+        batch_size=cfg["data"]["samples_per_gpu"] * jax.local_device_count(),
+        shuffle=True, seed=args.seed,
+        num_shards=n_proc, shard_index=jax.process_index(),
+    )
+
+    # model + state
+    m = cfg["model"]
+    model = EncoderDecoder(
+        num_classes=m["num_classes"], head_channels=m["head_channels"],
+        dropout_ratio=m["dropout_ratio"], backbone_cfg=m["backbone"],
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    crop = cfg["train_pipeline"]["crop"]["crop_size"]
+    in_ch = sum(cfg["dataset"]["modalities_ch"])
+    opt_kwargs = dict(cfg["optimizer"])
+    opt_kwargs.update(
+        steps_per_epoch=max(len(loader), 1),
+        grad_accum_steps=cfg["data"]["grad_accum"],
+    )
+    state = init_train_state(
+        model, (1, crop[0], crop[1], in_ch), jax.random.PRNGKey(args.seed),
+        optimizer_kwargs=opt_kwargs,
+    )
+
+    # pretrained ingestion
+    params = state.params
+    if args.sam_pretrained:
+        params = dict(params)
+        params["backbone"] = merge_pretrained(
+            params["backbone"],
+            ingest_sam_pth(args.sam_pretrained,
+                           m["backbone"]["interaction_indexes"]),
+        )
+    if args.convnext_pretrained:
+        params = dict(params)
+        params["backbone"]["spm"]["twin_conv"] = merge_pretrained(
+            params["backbone"]["spm"]["twin_conv"],
+            ingest_convnext_pth(args.convnext_pretrained),
+        )
+    state = state.replace(params=params)
+
+    # mesh: replicate state, shard batches
+    mesh = make_mesh(("data",))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step_fn_raw = make_train_step(model)
+
+    def step_fn(state, batch, rng):
+        return step_fn_raw(state, shard_batch(batch, mesh), rng)
+
+    # eval hook: validation split shares the test pipeline
+    eval_fn = None
+    if cfg.get("evaluation"):
+        val_cfg = dict(cfg["dataset"])
+        val_ds = build_dataset(val_cfg, args.data_root, test_mode=False)
+        test_pipe = TestPipeline(cfg["test_pipeline"],
+                                 cfg["dataset"]["modalities_ch"])
+
+        def eval_fn(state):
+            engine = InferenceEngine(
+                model, {"params": state.params,
+                        "batch_stats": state.batch_stats},
+                cfg["test_cfg"],
+            )
+            ev = Evaluator(engine, val_ds, m["num_classes"],
+                           case_aware=bool(cfg["evaluation"].get("case")))
+            res = ev.run(pipeline=test_pipe)
+            return res.get("summary", {})
+
+    runner = EpochRunner(
+        state, step_fn, loader, work_dir,
+        max_epochs=cfg["runner"]["max_epochs"],
+        eval_fn=eval_fn,
+        eval_interval=cfg["evaluation"]["interval"],
+        save_best=cfg["evaluation"].get("save_best"),
+        ckpt_interval=cfg["checkpoint"]["interval"],
+        max_keep_ckpts=cfg["checkpoint"]["max_keep_ckpts"],
+        early_stopping=EarlyStopping(),
+        rng=jax.random.PRNGKey(args.seed + 1),
+    )
+    if args.resume_from or args.auto_resume:
+        runner.resume(args.resume_from, auto=args.auto_resume)
+    elif args.load_from:
+        runner.load_weights(args.load_from)
+    runner.run()
+
+
+if __name__ == "__main__":
+    main()
