@@ -133,15 +133,18 @@ def _fmb(split: str = "val") -> dict:
         ),
         train_pipeline=dict(
             gaussian_blur=dict(kernel_size=3, p=0.2),
-            resize=dict(img_scale=(812, 612), ratio_range=(0.5, 2.0)),
-            crop=dict(crop_size=(800, 600), cat_max_ratio=0.75),
+            resize=dict(img_scale=(800, 600), ratio_range=(0.5, 2.0)),
+            crop=dict(crop_size=(800, 800), cat_max_ratio=0.75),
             flip=dict(prob=0.5),
             photometric=True,
             normalize=dict(rgb=IMAGENET_RGB, aux=UNIT_AUX, norm_by_max=True),
-            pad=dict(size=(800, 600), pad_val=0, seg_pad_val=255),
+            pad=dict(size=(800, 800), pad_val=0, seg_pad_val=255),
         ),
+        # reference FMB test pipeline pads the 800x600 input to 800x800
+        # BEFORE normalize (no resize); whole_dim_cut crops logits back
         test_pipeline=dict(
-            resize=dict(img_scale=(800, 600), keep_ratio=True),
+            resize=None,
+            pad=dict(size=(800, 800)),
             normalize=dict(rgb=IMAGENET_RGB, aux=UNIT_AUX, norm_by_max=True),
         ),
         test_cfg=dict(
@@ -149,7 +152,7 @@ def _fmb(split: str = "val") -> dict:
             cut_dim=(800, 600),
         ),
         optimizer=dict(OPTIMIZER),
-        data=dict(samples_per_gpu=1, grad_accum=2),
+        data=dict(samples_per_gpu=2, grad_accum=2),
         evaluation=dict(interval=1, metric="mIoU", save_best="mIoU",
                         resize_dim=(800, 600), case=None),
         runner=dict(max_epochs=100),

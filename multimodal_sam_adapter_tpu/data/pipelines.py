@@ -358,11 +358,14 @@ class TestPipeline:
     def __call__(self, sample: Dict) -> Dict:
         c = self.cfg
         sample.setdefault("meta", {})["ori_shape"] = sample["img"].shape
-        sample = resize_multimodal(
-            sample, c["resize"]["img_scale"],
-            keep_ratio=c["resize"].get("keep_ratio", True),
-            seg_scale=c["resize"].get("seg_scale"),
-        )
+        if c.get("resize"):
+            sample = resize_multimodal(
+                sample, c["resize"]["img_scale"],
+                keep_ratio=c["resize"].get("keep_ratio", True),
+                seg_scale=c["resize"].get("seg_scale"),
+            )
+        if c.get("pad"):
+            sample = pad_to_size(sample, c["pad"]["size"])
         n = c["normalize"]
         sample = normalize_multimodal(
             sample, self.modalities_ch,

@@ -49,7 +49,7 @@ def test_nested_dict_aggregation():
     np.testing.assert_allclose(out["sun"]["micro_IoU"], [0.5, 2 / 3])
     # global per-condition micro
     np.testing.assert_allclose(out["global"]["sun"]["micro_IoU"], [0.5, 2 / 3])
-    # per-case micro across conditions: 'ordinary' inter [3,1] union [4,1]...
-    np.testing.assert_allclose(out["global"]["ordinary"], [3 / 4, 1.0])
-    # global IoU over everything: inter [3,2], union [5,3]
-    np.testing.assert_allclose(out["global"]["IoU"], [3 / 5, 2 / 3])
+    # per-case micro across conditions: 'ordinary' inter [3,1], union [3,1]
+    np.testing.assert_allclose(out["global"]["ordinary"], [1.0, 1.0])
+    # global IoU over everything: inter [3,2], union [4,3]
+    np.testing.assert_allclose(out["global"]["IoU"], [3 / 4, 2 / 3])

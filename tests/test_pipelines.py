@@ -30,10 +30,10 @@ def test_normalize_norm_by_max_and_bgr_flip():
     )["img"]
     # RGB slice: BGR->RGB flip then /255, mean/std
     want_rgb = (raw[..., :3][..., ::-1] / 255.0 - np.array(mean)) / np.array(std)
-    np.testing.assert_allclose(out[..., :3], want_rgb, rtol=1e-5)
+    np.testing.assert_allclose(out[..., :3], want_rgb, rtol=1e-5, atol=1e-6)
     # aux slice: /255 and channel flip only (mean 0 / std 1)
     np.testing.assert_allclose(out[..., 3:], raw[..., 3:][..., ::-1] / 255.0,
-                               rtol=1e-5)
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_normalize_muses_rgb_only_255():
@@ -97,10 +97,10 @@ def test_loader_sharding_and_determinism():
     seen = set()
     for shard in range(2):
         dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
-                        num_shards=2, shard_index=shard)
+                        num_shards=2, shard_index=shard, drop_last=False)
         dl.set_epoch(3)
         for batch in dl:
-            assert batch["img"].shape == (2, 4, 4, 2)
+            assert batch["img"].shape[1:] == (4, 4, 2)
             seen.update(batch["img"][:, 0, 0, 0].astype(int).tolist())
     assert seen == set(range(10))
     # determinism across runs

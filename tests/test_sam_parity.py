@@ -1,0 +1,147 @@
+"""SAM encoder ingestion parity.
+
+Builds a synthetic SAM-layout torch state dict for a mini ViTDet encoder
+(2 blocks: one windowed, one global), converts it with
+engine/convert.convert_sam_encoder, and checks our ImageEncoderViT output
+against an inline torch expression of the reference encoder math
+(patch embed + abs pos + window partition + rel-pos attention + MLP).
+Also checks that the adapter-targeted mapping lands on the right param paths.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from multimodal_sam_adapter_tpu.engine.convert import convert_sam_encoder
+from multimodal_sam_adapter_tpu.models.sam_vit import ImageEncoderViT
+
+C, NH, DEPTH = 16, 2, 2
+IMG, PATCH = 32, 16  # 2x2 token grid
+GRID = IMG // PATCH
+WIN = 2
+
+
+def make_sam_state(rng):
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.2
+
+    sd = {
+        "pos_embed": t(1, GRID, GRID, C),
+        "patch_embed.proj.weight": t(C, 3, PATCH, PATCH),
+        "patch_embed.proj.bias": t(C),
+    }
+    for i in range(DEPTH):
+        win = WIN if i == 0 else GRID  # block 1 is global
+        sd.update({
+            f"blocks.{i}.norm1.weight": 1 + t(C) * 0.1,
+            f"blocks.{i}.norm1.bias": t(C),
+            f"blocks.{i}.attn.qkv.weight": t(3 * C, C),
+            f"blocks.{i}.attn.qkv.bias": t(3 * C),
+            f"blocks.{i}.attn.proj.weight": t(C, C),
+            f"blocks.{i}.attn.proj.bias": t(C),
+            f"blocks.{i}.attn.rel_pos_h": t(2 * win - 1, C // NH),
+            f"blocks.{i}.attn.rel_pos_w": t(2 * win - 1, C // NH),
+            f"blocks.{i}.norm2.weight": 1 + t(C) * 0.1,
+            f"blocks.{i}.norm2.bias": t(C),
+            f"blocks.{i}.mlp.lin1.weight": t(4 * C, C),
+            f"blocks.{i}.mlp.lin1.bias": t(4 * C),
+            f"blocks.{i}.mlp.lin2.weight": t(C, 4 * C),
+            f"blocks.{i}.mlp.lin2.bias": t(C),
+        })
+    return sd
+
+
+def torch_forward(sd, x_nchw):
+    """Inline torch expression of the reference encoder forward."""
+
+    def ln(x, w, b):
+        return F.layer_norm(x, (C,), torch.tensor(w), torch.tensor(b), 1e-6)
+
+    x = F.conv2d(x_nchw, torch.tensor(sd["patch_embed.proj.weight"]),
+                 torch.tensor(sd["patch_embed.proj.bias"]), stride=PATCH)
+    x = x.permute(0, 2, 3, 1)  # B, H, W, C
+    x = x + torch.tensor(sd["pos_embed"])
+    B, H, W, _ = x.shape
+
+    for i in range(DEPTH):
+        win = WIN if i == 0 else 0
+        shortcut = x
+        y = ln(x, sd[f"blocks.{i}.norm1.weight"], sd[f"blocks.{i}.norm1.bias"])
+        if win:
+            # H, W divisible by win here: no pad needed
+            y = y.view(B, H // win, win, W // win, win, C)
+            y = y.permute(0, 1, 3, 2, 4, 5).reshape(-1, win, win, C)
+        Bw, Hw, Ww, _ = y.shape
+        qkv = (y @ torch.tensor(sd[f"blocks.{i}.attn.qkv.weight"]).T
+               + torch.tensor(sd[f"blocks.{i}.attn.qkv.bias"]))
+        qkv = qkv.reshape(Bw, Hw * Ww, 3, NH, -1).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.reshape(3, Bw * NH, Hw * Ww, -1).unbind(0)
+        hd = C // NH
+        attn = (q * hd**-0.5) @ k.transpose(-2, -1)
+        rel_h = torch.tensor(sd[f"blocks.{i}.attn.rel_pos_h"])
+        rel_w = torch.tensor(sd[f"blocks.{i}.attn.rel_pos_w"])
+        ih = (torch.arange(Hw)[:, None] - torch.arange(Hw)[None, :]) + Hw - 1
+        iw = (torch.arange(Ww)[:, None] - torch.arange(Ww)[None, :]) + Ww - 1
+        r_q = q.reshape(Bw * NH, Hw, Ww, hd)
+        bh = torch.einsum("bhwc,hkc->bhwk", r_q, rel_h[ih])
+        bw = torch.einsum("bhwc,wkc->bhwk", r_q, rel_w[iw])
+        attn = (attn.view(Bw * NH, Hw, Ww, Hw, Ww)
+                + bh[..., :, None] + bw[..., None, :]).view(
+            Bw * NH, Hw * Ww, Hw * Ww)
+        o = (attn.softmax(-1) @ v).view(Bw, NH, Hw, Ww, hd)
+        o = o.permute(0, 2, 3, 1, 4).reshape(Bw, Hw, Ww, C)
+        o = (o @ torch.tensor(sd[f"blocks.{i}.attn.proj.weight"]).T
+             + torch.tensor(sd[f"blocks.{i}.attn.proj.bias"]))
+        if win:
+            o = o.view(B, H // win, W // win, win, win, C)
+            o = o.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+        x = shortcut + o
+        y = ln(x, sd[f"blocks.{i}.norm2.weight"], sd[f"blocks.{i}.norm2.bias"])
+        y = (y @ torch.tensor(sd[f"blocks.{i}.mlp.lin1.weight"]).T
+             + torch.tensor(sd[f"blocks.{i}.mlp.lin1.bias"]))
+        y = F.gelu(y)
+        y = (y @ torch.tensor(sd[f"blocks.{i}.mlp.lin2.weight"]).T
+             + torch.tensor(sd[f"blocks.{i}.mlp.lin2.bias"]))
+        x = x + y
+    return x.reshape(B, H * W, C)
+
+
+def test_sam_encoder_ingestion_parity():
+    rng = np.random.default_rng(0)
+    sd = make_sam_state(rng)
+    x = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+
+    want = torch_forward(sd, torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+
+    model = ImageEncoderViT(
+        img_size=IMG, patch_size=PATCH, embed_dim=C, depth=DEPTH,
+        num_heads=NH, window_size=WIN, global_attn_indexes=(1,),
+        pretrained_size=IMG,
+    )
+    init = model.init(jax.random.PRNGKey(0), jnp.array(x))
+    conv = convert_sam_encoder(sd, standalone=True)
+    # every converted leaf must exist in the init tree with matching shape
+    params = jax.tree.map(lambda a: a, init["params"])
+
+    def merge(dst, src):
+        for k, v in src.items():
+            assert k in dst, f"missing {k}"
+            if isinstance(v, dict):
+                merge(dst[k], v)
+            else:
+                assert np.shape(dst[k]) == np.shape(v), k
+                dst[k] = jnp.asarray(v)
+
+    merge(params, conv)
+    got, _, _ = model.apply({"params": params}, jnp.array(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_adapter_mapping_paths():
+    rng = np.random.default_rng(1)
+    sd = make_sam_state(rng)
+    conv = convert_sam_encoder(sd, interaction_indexes=((0, 0), (1, 1)))
+    assert "interactions_0" in conv and "vit_block_0" in conv["interactions_0"]
+    assert "interactions_1" in conv and "vit_block_1" in conv["interactions_1"]
+    assert conv["pos_embed"].shape == (1, GRID, GRID, C)
