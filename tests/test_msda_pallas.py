@@ -1,0 +1,52 @@
+"""Pallas MSDA kernel vs the XLA gather oracle (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn
+from multimodal_sam_adapter_tpu.ops.msda_pallas import (
+    ms_deform_attn_pallas_fwd,
+    make_ms_deform_attn,
+)
+from tests.test_msda import make_inputs
+
+
+@pytest.mark.parametrize(
+    "B,M,D,Lq,P,shapes",
+    [
+        (1, 2, 32, 37, 4, ((16, 16), (8, 8), (4, 4))),
+        (2, 4, 32, 130, 2, ((8, 8),)),
+    ],
+)
+def test_pallas_forward_matches_xla(B, M, D, Lq, P, shapes):
+    rng = np.random.default_rng(0)
+    value, loc, att = make_inputs(rng, B, M, D, Lq, P, shapes)
+    want = np.asarray(ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                                     jnp.array(att)))
+    got = np.asarray(ms_deform_attn_pallas_fwd(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(att),
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_custom_vjp_matches_xla_grads():
+    shapes = ((8, 8), (4, 4))
+    B, M, D, Lq, P = 1, 2, 32, 13, 2
+    rng = np.random.default_rng(1)
+    value, loc, att = make_inputs(rng, B, M, D, Lq, P, shapes)
+    cot = rng.standard_normal((B, Lq, M * D)).astype(np.float32)
+
+    fused = make_ms_deform_attn(shapes, interpret=True)
+    out_f, vjp_f = jax.vjp(fused, jnp.array(value), jnp.array(loc),
+                           jnp.array(att))
+    out_x, vjp_x = jax.vjp(
+        lambda v, l, a: ms_deform_attn(v, shapes, l, a),
+        jnp.array(value), jnp.array(loc), jnp.array(att),
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
+    for gf, gx in zip(vjp_f(jnp.array(cot)), vjp_x(jnp.array(cot))):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)
