@@ -1,0 +1,150 @@
+"""Pallas flash attention with decomposed rel-pos bias (SAM global blocks).
+
+The reference materializes the full (N, N) attention matrix with the
+decomposed rel-pos bias added (reference base/image_encoder.py:492-498 +
+:587-623). At 1024^2 inputs the 4 global blocks each build a
+16-head x 4096 x 4096 matrix (~1 GB f32) — pure HBM bandwidth burn.
+
+This kernel streams K/V tiles through VMEM with the standard online-softmax
+recurrence and REBUILDS the decomposed bias inside each tile from two small
+per-query terms precomputed in XLA:
+
+    bias[q, k] = rel_h_term[q, kh(k)] + rel_w_term[q, kw(k)]
+
+where rel_h_term = einsum(q, Rh) (B, N, Kh) and rel_w_term = einsum(q, Rw)
+(B, N, Kw) are O(N * sqrt(N)) — 64x smaller than the bias itself. For a key
+tile of R consecutive grid rows the bias tile is a broadcast of R columns of
+rel_h_term plus a tiling of rel_w_term — vector ops only, no gathers.
+
+Numerics: online softmax in f32; the flash recurrence is exact, so outputs
+match the dense reference path to f32 rounding (tests/test_flash_attention.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import rel_pos_bias_terms
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
+                  q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
+                  m_scr, l_scr, acc_scr):
+    """Grid: (BH, q_tiles, k_tiles) with k innermost.
+
+    Blocks:
+      q_ref:  (1, Tq, d)       k_ref/v_ref: (1, Tk, d)  (Tk = rows_per_tile*kw)
+      rh_ref: (1, Tq, Kh)      rw_ref: (1, Tq, kw)
+      o_ref:  (1, Tq, d)
+    """
+    kt = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kt == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)          # (Tq, d)
+    k = k_ref[0].astype(jnp.float32)          # (Tk, d)
+    v = v_ref[0]                               # (Tk, d)
+    s = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Tq, Tk)
+
+    # decomposed rel-pos bias for this key tile:
+    # key tile covers grid rows [kt*R, kt*R+R), all kw columns each.
+    Tq = q.shape[0]
+    rw = rw_ref[0].astype(jnp.float32)         # (Tq, kw)
+    row0 = kt * rows_per_tile
+    rh_cols = rh_ref[0, :, pl.ds(row0, rows_per_tile)].astype(jnp.float32)
+    # (Tq, R) -> (Tq, R, 1) broadcast over kw; rw -> (Tq, 1, kw)
+    bias = rh_cols[:, :, None] + rw[:, None, :]
+    s = s + bias.reshape(Tq, rows_per_tile * kw)
+
+    m_prev = m_scr[:]                          # (Tq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                     # (Tq, Tk)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+    acc_scr[:] = acc
+
+    @pl.when(kt == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def flash_attention_rel_pos(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: Tuple[int, int],
+    scale: float,
+    block_q: int = 256,
+    block_k_rows: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.attention.attention_with_decomposed_rel_pos
+    on square self-attention grids (q_hw == k_hw, N = H*W).
+
+    q, k, v: (B, N, d) with B folding batch*heads.
+    """
+    B, N, d = q.shape
+    H, W = q_hw
+    assert H * W == N
+    rel_h, rel_w = rel_pos_bias_terms(q, rel_pos_h, rel_pos_w, q_hw, q_hw)
+    rel_h = rel_h.reshape(B, N, H)
+    rel_w = rel_w.reshape(B, N, W)
+
+    block_q = min(block_q, N)
+    rows = min(block_k_rows, H)
+    while H % rows:
+        rows -= 1
+    block_k = rows * W
+    grid = (B, N // block_q if N % block_q == 0 else -1, H // rows)
+    assert N % block_q == 0, "N must divide block_q for the global grid"
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, W, rows, scale),
+        grid=(B, N // block_q, H // rows),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qt, kt: (b, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qt, kt: (b, kt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, qt, kt: (b, kt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, H), lambda b, qt, kt: (b, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, W), lambda b, qt, kt: (b, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qt, kt: (b, qt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+    return out

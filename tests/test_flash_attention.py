@@ -1,0 +1,35 @@
+"""Flash attention with rel-pos vs the dense reference path (interpret)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from multimodal_sam_adapter_tpu.ops.attention import (
+    attention_with_decomposed_rel_pos,
+)
+from multimodal_sam_adapter_tpu.ops.flash_attention import (
+    flash_attention_rel_pos,
+)
+
+
+@pytest.mark.parametrize("H,W,blk_q,blk_kr", [(8, 8, 16, 2), (4, 8, 32, 4)])
+def test_flash_matches_dense(H, W, blk_q, blk_kr):
+    rng = np.random.default_rng(0)
+    B, d = 3, 32
+    N = H * W
+    q = rng.standard_normal((B, N, d)).astype(np.float32)
+    k = rng.standard_normal((B, N, d)).astype(np.float32)
+    v = rng.standard_normal((B, N, d)).astype(np.float32)
+    rph = rng.standard_normal((2 * H - 1, d)).astype(np.float32) * 0.5
+    rpw = rng.standard_normal((2 * W - 1, d)).astype(np.float32) * 0.5
+    scale = d ** -0.5
+
+    want = np.asarray(attention_with_decomposed_rel_pos(
+        jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(rph),
+        jnp.array(rpw), (H, W), scale,
+    ))
+    got = np.asarray(flash_attention_rel_pos(
+        jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(rph),
+        jnp.array(rpw), (H, W), scale,
+        block_q=blk_q, block_k_rows=blk_kr, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
