@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -61,6 +62,7 @@ class ViTAttention(nn.Module):
     num_heads: int
     input_size: Tuple[int, int]
     use_rel_pos: bool = True
+    impl: str = "auto"  # 'dense' | 'flash' | 'auto' (flash on TPU for big N)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -69,6 +71,10 @@ class ViTAttention(nn.Module):
         B, H, W, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
+        impl = self.impl
+        if impl == "auto":
+            big = H * W >= 1024 and (H * W) % 256 == 0
+            impl = "flash" if (jax.default_backend() == "tpu" and big) else "dense"
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
@@ -85,9 +91,16 @@ class ViTAttention(nn.Module):
                 nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, head_dim),
             )
-            out = attention_with_decomposed_rel_pos(
-                q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
-            )
+            if impl == "flash":
+                from ..ops.flash_attention import flash_attention_rel_pos_diff
+
+                out = flash_attention_rel_pos_diff(
+                    q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
+                )
+            else:
+                out = attention_with_decomposed_rel_pos(
+                    q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
+                )
         else:
             attn = jnp.einsum("bqd,bkd->bqk", q * scale, k,
                               preferred_element_type=jnp.float32)

@@ -148,3 +148,38 @@ def flash_attention_rel_pos(
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
+    from .attention import attention_with_decomposed_rel_pos
+
+    @jax.custom_vjp
+    def fn(q, k, v, rph, rpw):
+        return flash_attention_rel_pos(
+            q, k, v, rph, rpw, q_hw, scale,
+            block_q=block_q, block_k_rows=block_k_rows, interpret=interpret,
+        )
+
+    def fwd(q, k, v, rph, rpw):
+        return fn(q, k, v, rph, rpw), (q, k, v, rph, rpw)
+
+    def bwd(res, g):
+        q, k, v, rph, rpw = res
+        _, vjp = jax.vjp(
+            lambda *a: attention_with_decomposed_rel_pos(*a, q_hw, scale),
+            q, k, v, rph, rpw,
+        )
+        return vjp(g.astype(q.dtype))
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def flash_attention_rel_pos_diff(q, k, v, rph, rpw, q_hw, scale,
+                                 block_q: int = 256, block_k_rows: int = 4,
+                                 interpret: bool = False):
+    """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
+    (one block's dense attention at a time under the stage remat)."""
+    return _make_diff_flash(tuple(q_hw), float(scale), block_q, block_k_rows,
+                            interpret)(q, k, v, rph, rpw)

@@ -109,7 +109,10 @@ class MSDeformAttention(nn.Module):
     Mirrors reference ops/modules/ms_deform_attn.py:28-130 — query-conditioned
     sampling offsets and attention weights, `ratio`-shrunk value projection
     (deform_ratio=0.5 in all MM-SAM configs), and the directional offset-bias
-    init — re-expressed as a flax module over the XLA core op.
+    init — re-expressed as a flax module over the core op.
+
+    impl: 'xla' (gather program), 'pallas' (fused TPU kernel,
+    ops/msda_pallas.py), or 'auto' (pallas on TPU backends).
     """
 
     d_model: int
@@ -117,6 +120,7 @@ class MSDeformAttention(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     ratio: float = 1.0
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -168,6 +172,14 @@ class MSDeformAttention(nn.Module):
             + offs / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(value, tuple(spatial_shapes), loc, attn)
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from .msda_pallas import make_ms_deform_attn
+
+            out = make_ms_deform_attn(tuple(spatial_shapes))(value, loc, attn)
+        else:
+            out = ms_deform_attn(value, tuple(spatial_shapes), loc, attn)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
         return out

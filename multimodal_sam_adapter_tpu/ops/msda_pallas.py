@@ -143,9 +143,14 @@ def make_ms_deform_attn(spatial_shapes: Sequence[Tuple[int, int]],
                         interpret: bool = False):
     """custom_vjp MSDA for fixed (static) spatial shapes: Pallas forward,
     XLA-gather autodiff backward (the col2im analogue)."""
-    from .msda import ms_deform_attn as msda_xla
+    return _make_ms_deform_attn_cached(
+        tuple(tuple(s) for s in spatial_shapes), interpret
+    )
 
-    shapes = tuple(tuple(s) for s in spatial_shapes)
+
+@functools.lru_cache(maxsize=None)
+def _make_ms_deform_attn_cached(shapes, interpret: bool):
+    from .msda import ms_deform_attn as msda_xla
 
     @jax.custom_vjp
     def fn(value, loc, att):
