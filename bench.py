@@ -2,13 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing method: host<->device syncs through this environment's TPU tunnel
+carry O(100ms) fixed latency and async dispatch makes block_until_ready
+unreliable, so the measurement amortizes: one jit runs the forward N times
+in a lax.scan (data-dependent chain) and returns a checksum; time(N=9) -
+time(N=1) over 8 gives pure device time per forward.
+
 Baseline context (BASELINE.md): the reference publishes no throughput
 numbers; the driver target is >= 3x images/sec/chip over an A100 running the
 reference model at 1024x1024. A100_EST below is our estimate of the
 reference PyTorch implementation's single-A100 inference throughput for
-SAM ViT-L + adapter at 1024^2 (fp16, batch 1): ~4 img/s — the model is
-~1.3 TFLOPs/img in its ViT alone plus adapter/convnext/deformable overheads
-and the reference runs unfused eager attention. vs_baseline = value / A100_EST.
+SAM ViT-L + adapter at 1024^2 (fp16, batch 1): ~4 img/s (the model is
+~4 TFLOPs/img with unfused eager attention and the deformable-attention
+CUDA op). vs_baseline = value / A100_EST.
 """
 import json
 import time
@@ -20,30 +26,36 @@ A100_EST_IMG_PER_S = 4.0
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model(dtype=jnp.bfloat16)
-    batch = 1
-    img = jnp.zeros((batch, 1024, 1024, 6), jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    init = jax.jit(model.init, static_argnames=("train",))
-    variables = init(rng, img, train=False)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 1024, 6),
+                            jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), img, train=False
+    )
 
-    @jax.jit
-    def fwd(variables, img):
-        return model.apply(variables, img, train=False)
+    def make_fn(n):
+        @jax.jit
+        def fn():
+            def body(c, _):
+                out = model.apply(variables, img + c, train=False)
+                return c + jnp.bfloat16(1e-3), jnp.sum(out.astype(jnp.float32))
+            _, s = jax.lax.scan(body, jnp.bfloat16(0), None, length=n)
+            return s.sum()
+        return fn
 
-    # warmup / compile
-    fwd(variables, img)[0].block_until_ready()
-    fwd(variables, img)[0].block_until_ready()
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, img)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    times = {}
+    for n in (1, 9):
+        fn = make_fn(n)
+        float(fn())  # compile + sync
+        t0 = time.perf_counter()
+        float(fn())
+        times[n] = time.perf_counter() - t0
+    per_img = (times[9] - times[1]) / 8.0
+    ips = 1.0 / per_img
 
     print(json.dumps({
         "metric": "flagship_1024_infer_images_per_sec_per_chip",

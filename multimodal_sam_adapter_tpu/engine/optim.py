@@ -135,6 +135,39 @@ def scale_by_tree(scales) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ReduceOnPlateau:
+    """Metric-driven LR factor (reference mmcv_custom/sched.py analogue,
+    registered-but-unused by shipped configs). Multiply the schedule output
+    by `.factor`; call `.update(metric)` after each eval."""
+
+    def __init__(self, mode: str = "max", factor: float = 0.1,
+                 patience: int = 10, min_factor: float = 1e-3):
+        self.mode = mode
+        self.factor_step = factor
+        self.patience = patience
+        self.min_factor = min_factor
+        self.best = None
+        self.wait = 0
+        self.factor = 1.0
+
+    def update(self, value: float) -> float:
+        better = (
+            self.best is None
+            or (self.mode == "max" and value > self.best)
+            or (self.mode == "min" and value < self.best)
+        )
+        if better:
+            self.best = value
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait > self.patience:
+                self.factor = max(self.factor * self.factor_step,
+                                  self.min_factor)
+                self.wait = 0
+        return self.factor
+
+
 def make_optimizer(
     params,
     base_lr: float = 2e-4,

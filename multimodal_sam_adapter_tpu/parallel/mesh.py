@@ -59,3 +59,28 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def gather_results(tree):
+    """Gather per-process eval results across hosts.
+
+    The reference ships collect_results_cpu/gpu (tmpdir files / pickled
+    all_gather over NCCL, apis/test_bs.py:13). The TPU equivalent is one
+    process_allgather over DCN; on a single process it's the identity.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)
+
+
+def init_distributed():
+    """Multi-host bring-up: call once before building the mesh on each host
+    (replaces torch.distributed.launch + init_dist, reference train.py:133)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host
