@@ -82,6 +82,22 @@ def weight_decay_mask(params):
     )
 
 
+def freeze_backbone_mask(params):
+    """freeze_backbone flag (reference train.py:179-186): zero updates for
+    patch_embed, pos_embed, and non-MLP ViT block params."""
+
+    def frozen(path: str) -> bool:
+        if "patch_embed" in path or path.endswith("pos_embed"):
+            return True
+        if re.search(r"(?:vit_block|blocks)_\d+", path) and "mlp" not in path:
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: 0.0 if frozen(_path_str(p)) else 1.0, params
+    )
+
+
 # ---------------------------------------------------------------------------
 # LR schedule
 # ---------------------------------------------------------------------------
@@ -183,6 +199,7 @@ def make_optimizer(
     warmup_epochs: int = 10,
     warmup_ratio: float = 0.1,
     grad_accum_steps: int = 1,
+    freeze_backbone: bool = False,
     schedule=None,
 ) -> optax.GradientTransformation:
     """AdamW with per-param layer-decay lr, poly/exp-warmup schedule, and
@@ -194,6 +211,9 @@ def make_optimizer(
             warmup_epochs, warmup_ratio,
         )
     scales = layer_decay_scales(params, num_layers, layer_decay_rate)
+    if freeze_backbone:
+        fmask = freeze_backbone_mask(params)
+        scales = jax.tree.map(lambda s, f: s * f, scales, fmask)
     mask = weight_decay_mask(params)
     tx = optax.chain(
         optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),

@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="freeze patch_embed/pos_embed/non-MLP ViT params")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--cfg-options", nargs="+", default=[],
@@ -93,6 +95,7 @@ def main():
     opt_kwargs.update(
         steps_per_epoch=max(len(loader), 1),
         grad_accum_steps=cfg["data"]["grad_accum"],
+        freeze_backbone=args.freeze_backbone,
     )
     state = init_train_state(
         model, (1, crop[0], crop[1], in_ch), jax.random.PRNGKey(args.seed),
