@@ -231,6 +231,42 @@ _register(_muses("lidar"))
 _register(_muses("event"))
 
 
+def _deliver_tiny() -> dict:
+    """Test-scale config: atto twin-conv, 4-block ViT, 64x64 crops. Used by
+    the CLI integration tests and CI-scale experiments."""
+    cfg = _deliver("lidar", "_lidar_front.png")
+    cfg["name"] = "deliver_tiny"
+    cfg["model"]["num_classes"] = 25
+    cfg["model"]["head_channels"] = 16
+    cfg["model"]["backbone"] = dict(
+        img_size=64, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        drop_path_rate=0.1, conv_drop_path_rate=0.1, conv_inplane=40,
+        n_points=2, deform_num_heads=4, init_values=1e-6, cffn_ratio=0.25,
+        deform_ratio=0.5,
+        interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)),
+        global_attn_indexes=(1, 3), window_size=2, pretrained_size=64,
+        modalities_ch=(3, 3), arch="atto",
+    )
+    cfg["train_pipeline"]["resize"] = dict(img_scale=(80, 80),
+                                           ratio_range=(0.8, 1.2))
+    cfg["train_pipeline"]["crop"] = dict(crop_size=(64, 64),
+                                         cat_max_ratio=0.75)
+    cfg["train_pipeline"]["pad"] = dict(size=(64, 64), pad_val=0,
+                                        seg_pad_val=255)
+    cfg["test_pipeline"]["resize"] = dict(img_scale=(64, 64), keep_ratio=True)
+    cfg["test_cfg"] = dict(mode="whole_dim", rescale=True, dim=(64, 64))
+    cfg["optimizer"].update(max_epochs=2, warmup_epochs=1)
+    cfg["data"] = dict(samples_per_gpu=2, grad_accum=1)
+    cfg["evaluation"] = dict(interval=1, metric="mIoU", save_best="mIoU",
+                             resize_dim=(64, 64),
+                             case=("motionblur",))
+    cfg["runner"] = dict(max_epochs=2)
+    return cfg
+
+
+_register(_deliver_tiny())
+
+
 def list_configs():
     return sorted(_CONFIGS)
 

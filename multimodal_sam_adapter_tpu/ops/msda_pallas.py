@@ -1,21 +1,24 @@
-"""Pallas TPU kernel for multi-scale deformable attention.
+"""Pallas TPU kernels for multi-scale deformable attention.
 
 The reference implements this op as a CUDA im2col kernel
 (reference ops/src/cuda/ms_deform_im2col_cuda.cuh:238-301: one thread per
-(batch, query, head, channel) doing 4-corner bilinear gathers). TPUs have no
-hardware vector-gather, so the TPU-native design restructures the work:
+(batch, query, head, channel) doing 4-corner bilinear gathers). The TPU
+re-design splits the work:
 
-1. XLA phase (`_prepare_level`, vectorized): for every (query, head, point)
-   compute the two CLAMPED base row indices of the 2x2 bilinear footprint in
-   the flattened (H*W, D) level table, and the four corner weights with
-   zero-padding validity and the attention weight folded in. All dense VPU
-   math, no gathers.
-2. Pallas phase (`_level_kernel`): grid over (batch*head, query tiles). The
-   whole level table for one head lives in VMEM (<= 2 MB); indices/weights
-   stream through SMEM so the inner loop is scalar-driven: per (query,
-   point) TWO dynamic (2, D) row loads (a 2x2 bilinear footprint is two
-   adjacent flat rows twice) + weighted accumulate. This turns 16 scattered
-   element gathers into 2 vector loads.
+1. XLA phase (`_prepare_level`, dense VPU math, no gathers): for every
+   (query, head, point) compute the four CLAMPED corner row indices into the
+   flattened (H*W, D) level table and the four corner weights with
+   zero-padding validity and the attention weight folded in.
+2. Pallas phase, two interchangeable kernels:
+   - 'gather' (default): Mosaic's tpu.dynamic_gather (vectorized per-lane
+     sublane gather, reached via jnp.take_along_axis inside the kernel).
+     The whole level table for one head lives in VMEM; each query tile
+     gathers all its corner rows in ONE vector op and reduces with the
+     folded weights on the VPU.
+   - 'loads': scalar-driven fallback; per (query, point, y-corner) one
+     sublane-ALIGNED (16, D) block load + iota-select of the two needed
+     rows (Mosaic requires dynamic sublane starts to be 8-aligned, so the
+     unaligned 2-row footprint is cut out of an aligned 16-row window).
 
 Backward uses the XLA gather formulation's autodiff (scatter-add), wired in
 via jax.custom_vjp — same split as the reference's im2col/col2im pair.
@@ -31,12 +34,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _prepare_level(loc_l, att_l, H: int, W: int):
-    """Compute base rows + folded corner weights for one level.
+def _prepare_level(loc_l, att_l, H: int, W: int, paired: bool):
+    """Corner indices + folded weights for one level.
 
     loc_l: (B, Lq, M, P, 2) normalized (x, y); att_l: (B, Lq, M, P).
-    Returns rbase (B*M, Lq, P, 2) int32, wmat (B*M, Lq, P, 4) f32 where
-    wmat[..., 2*i + j] weights loaded row (cy0+i), col (cx0+j).
+
+    paired=True (loads kernel): returns rbase (BM, Lq, P, 2) int32 = the two
+    y-corner base rows (col pair is contiguous) and wmat (BM, Lq, P, 4)
+    where wmat[..., 2i+j] weighs loaded row (cy0+i), col (cx0+j).
+
+    paired=False (gather kernel): returns ridx (BM, Lq, P*4) int32 flat
+    corner rows and w (BM, Lq, P*4) f32.
     """
     B, Lq, M, P, _ = loc_l.shape
     x = loc_l[..., 0].astype(jnp.float32) * W - 0.5
@@ -54,55 +62,125 @@ def _prepare_level(loc_l, att_l, H: int, W: int):
         # weight of loaded position c: (1-t) if c == i0, t if c == i0+1, else 0
         return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1, t, 0.0))
 
-    wx = jnp.stack([slot_w(cx0, x0, tx), slot_w(cx0 + 1, x0, tx)], -1)  # (..,2)
+    wx = jnp.stack([slot_w(cx0, x0, tx), slot_w(cx0 + 1, x0, tx)], -1)
     wy = jnp.stack([slot_w(cy0, y0, ty), slot_w(cy0 + 1, y0, ty)], -1)
     wmat = wy[..., :, None] * wx[..., None, :]  # (B,Lq,M,P,2,2)
     wmat = wmat * att_l.astype(jnp.float32)[..., None, None]
-    rbase = jnp.stack([cy0 * W + cx0, (cy0 + 1) * W + cx0], -1)  # (B,Lq,M,P,2)
 
-    rbase = rbase.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq, P, 2)
-    wmat = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(B * M, Lq, P, 4)
-    return rbase, wmat
+    if paired:
+        rbase = jnp.stack([cy0 * W + cx0, (cy0 + 1) * W + cx0], -1)
+        rbase = rbase.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq, P, 2)
+        w = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(B * M, Lq, P, 4)
+        return rbase, w
+    rows = jnp.stack(
+        [cy0 * W + cx0, cy0 * W + cx0 + 1,
+         (cy0 + 1) * W + cx0, (cy0 + 1) * W + cx0 + 1], -1,
+    )  # (B,Lq,M,P,4) matching wmat flattened (2,2)->(4,)
+    rows = rows.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq, P * 4)
+    w = wmat.reshape(B, Lq, M, P * 4).transpose(0, 2, 1, 3)
+    w = w.reshape(B * M, Lq, P * 4)
+    return rows, w
 
 
-def _level_kernel(P: int, T: int, D: int, rb_ref, wm_ref, val_ref, out_ref):
+# ---------------------------------------------------------------------------
+# variant 1: tpu.dynamic_gather
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(P4: int, T: int, D: int, HW: int,
+                   idx_ref, w_ref, val_ref, out_ref):
+    idx = idx_ref[0].reshape(T * P4, 1)           # (T*P4, 1)
+    idx_full = jnp.broadcast_to(idx, (T * P4, D))
+    if HW > T * P4:
+        idx_full = jnp.pad(idx_full, ((0, HW - T * P4), (0, 0)))
+    g = jnp.take_along_axis(
+        val_ref[0], idx_full, axis=0, mode="promise_in_bounds"
+    )  # (HW, D)
+    g = g[: T * P4].reshape(T, P4, D).astype(jnp.float32)
+    w = w_ref[0][..., None]                        # (T, P4, 1)
+    out_ref[0] = jnp.sum(g * w, axis=1).astype(out_ref.dtype)
+
+
+def _msda_level_gather(value_l, ridx, w, interpret: bool = False):
+    """value_l: (BM, HW, D); ridx/w: (BM, Lq, P4). Returns (BM, Lq, D)."""
+    BM, HW, D = value_l.shape
+    _, Lq, P4 = ridx.shape
+    # tile size: T*P4 must fit in HW (gather output shape == table shape)
+    T = max(8, min(256, HW // P4))
+    pad = (-Lq) % T
+    if pad:
+        ridx = jnp.pad(ridx, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+    Lqp = Lq + pad
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, P4, T, D, HW),
+        grid=(BM, Lqp // T),
+        in_specs=[
+            pl.BlockSpec((1, T, P4), lambda bm, t: (bm, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, P4), lambda bm, t: (bm, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HW, D), lambda bm, t: (bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda bm, t: (bm, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), value_l.dtype),
+        interpret=interpret,
+    )(ridx, w, value_l)
+    return out[:, :Lq]
+
+
+# ---------------------------------------------------------------------------
+# variant 2: aligned block loads + iota select (fallback)
+# ---------------------------------------------------------------------------
+
+_ALIGN = 16  # sublane alignment window (covers f32 tile 8 and bf16 tile 16)
+
+
+def _loads_kernel(P: int, T: int, D: int, rb_ref, wm_ref, val_ref, out_ref):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ALIGN, 1), 0)
+
     def body(t, _):
         acc = jnp.zeros((1, D), jnp.float32)
         for p in range(P):
             for i in range(2):
                 r = rb_ref[0, t, p, i]
-                rows = val_ref[0, pl.ds(r, 2), :].astype(jnp.float32)
+                base = pl.multiple_of((r // 8) * 8, 8)
+                block = val_ref[0, pl.ds(base, _ALIGN), :].astype(jnp.float32)
+                off = r - base
                 w0 = wm_ref[0, t, p, 2 * i]
                 w1 = wm_ref[0, t, p, 2 * i + 1]
-                acc = acc + rows[0:1] * w0 + rows[1:2] * w1
+                sel = (
+                    jnp.where(lane == off, w0, 0.0)
+                    + jnp.where(lane == off + 1, w1, 0.0)
+                )
+                acc = acc + jnp.sum(block * sel, axis=0, keepdims=True)
         out_ref[0, pl.ds(t, 1), :] = acc.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, T, body, 0, unroll=False)
+    jax.lax.fori_loop(0, T, body, 0)
 
 
-def _msda_level_pallas(value_l, rbase, wmat, T: int = 128,
-                       interpret: bool = False):
-    """value_l: (BM, HW, D); rbase: (BM, Lq, P, 2); wmat: (BM, Lq, P, 4).
-    Returns (BM, Lq, D)."""
+def _msda_level_loads(value_l, rbase, wmat, T: int = 128,
+                      interpret: bool = False):
+    """value_l: (BM, HW, D) f32; rbase: (BM, Lq, P, 2); wmat (BM, Lq, P, 4)."""
     BM, HW, D = value_l.shape
     _, Lq, P, _ = rbase.shape
+    value_l = jnp.pad(value_l, ((0, 0), (0, _ALIGN), (0, 0)))
     pad = (-Lq) % T
     if pad:
         rbase = jnp.pad(rbase, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wmat = jnp.pad(wmat, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Lqp = Lq + pad
-    grid = (BM, Lqp // T)
-
     out = pl.pallas_call(
-        functools.partial(_level_kernel, P, T, D),
-        grid=grid,
+        functools.partial(_loads_kernel, P, T, D),
+        grid=(BM, Lqp // T),
         in_specs=[
             pl.BlockSpec((1, T, P, 2), lambda bm, t: (bm, t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, P, 4), lambda bm, t: (bm, t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, HW, D), lambda bm, t: (bm, 0, 0),
+            pl.BlockSpec((1, HW + _ALIGN, D), lambda bm, t: (bm, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, D), lambda bm, t: (bm, t, 0),
@@ -113,11 +191,16 @@ def _msda_level_pallas(value_l, rbase, wmat, T: int = 128,
     return out[:, :Lq]
 
 
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
 def ms_deform_attn_pallas_fwd(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    variant: str = "gather",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Forward-only Pallas path; same contract as ops.msda.ms_deform_attn."""
@@ -129,33 +212,37 @@ def ms_deform_attn_pallas_fwd(
         val = value[:, offset : offset + H * W]  # (B, HW, M, D)
         offset += H * W
         val = val.transpose(0, 2, 1, 3).reshape(B * M, H * W, D)
-        rbase, wmat = _prepare_level(
-            sampling_locations[:, :, :, lvl], attention_weights[:, :, :, lvl],
-            H, W,
-        )
-        out = out + _msda_level_pallas(val, rbase, wmat,
-                                       interpret=interpret).astype(jnp.float32)
+        loc_l = sampling_locations[:, :, :, lvl]
+        att_l = attention_weights[:, :, :, lvl]
+        if variant == "gather":
+            ridx, w = _prepare_level(loc_l, att_l, H, W, paired=False)
+            o = _msda_level_gather(val, ridx, w, interpret=interpret)
+        else:
+            rbase, wmat = _prepare_level(loc_l, att_l, H, W, paired=True)
+            o = _msda_level_loads(val.astype(jnp.float32), rbase, wmat,
+                                  interpret=interpret)
+        out = out + o.astype(jnp.float32)
     out = out.reshape(B, M, Lq, D).transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
     return out.astype(value.dtype)
 
 
 def make_ms_deform_attn(spatial_shapes: Sequence[Tuple[int, int]],
-                        interpret: bool = False):
+                        variant: str = "gather", interpret: bool = False):
     """custom_vjp MSDA for fixed (static) spatial shapes: Pallas forward,
     XLA-gather autodiff backward (the col2im analogue)."""
     return _make_ms_deform_attn_cached(
-        tuple(tuple(s) for s in spatial_shapes), interpret
+        tuple(tuple(s) for s in spatial_shapes), variant, interpret
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _make_ms_deform_attn_cached(shapes, interpret: bool):
+def _make_ms_deform_attn_cached(shapes, variant: str, interpret: bool):
     from .msda import ms_deform_attn as msda_xla
 
     @jax.custom_vjp
     def fn(value, loc, att):
         return ms_deform_attn_pallas_fwd(value, shapes, loc, att,
-                                         interpret=interpret)
+                                         variant=variant, interpret=interpret)
 
     def fwd(value, loc, att):
         return fn(value, loc, att), (value, loc, att)

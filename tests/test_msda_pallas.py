@@ -12,6 +12,7 @@ from multimodal_sam_adapter_tpu.ops.msda_pallas import (
 from tests.test_msda import make_inputs
 
 
+@pytest.mark.parametrize("variant", ["gather", "loads"])
 @pytest.mark.parametrize(
     "B,M,D,Lq,P,shapes",
     [
@@ -19,14 +20,14 @@ from tests.test_msda import make_inputs
         (2, 4, 32, 130, 2, ((8, 8),)),
     ],
 )
-def test_pallas_forward_matches_xla(B, M, D, Lq, P, shapes):
+def test_pallas_forward_matches_xla(B, M, D, Lq, P, shapes, variant):
     rng = np.random.default_rng(0)
     value, loc, att = make_inputs(rng, B, M, D, Lq, P, shapes)
     want = np.asarray(ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
                                      jnp.array(att)))
     got = np.asarray(ms_deform_attn_pallas_fwd(
         jnp.array(value), shapes, jnp.array(loc), jnp.array(att),
-        interpret=True,
+        variant=variant, interpret=True,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
