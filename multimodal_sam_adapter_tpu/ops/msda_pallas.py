@@ -88,24 +88,29 @@ def _prepare_level(loc_l, att_l, H: int, W: int, paired: bool):
 
 def _gather_kernel(P4: int, T: int, D: int, HW: int,
                    idx_ref, w_ref, val_ref, out_ref):
-    idx = idx_ref[0].reshape(T * P4, 1)           # (T*P4, 1)
-    idx_full = jnp.broadcast_to(idx, (T * P4, D))
-    if HW > T * P4:
-        idx_full = jnp.pad(idx_full, ((0, HW - T * P4), (0, 0)))
-    g = jnp.take_along_axis(
-        val_ref[0], idx_full, axis=0, mode="promise_in_bounds"
-    )  # (HW, D)
-    g = g[: T * P4].reshape(T, P4, D).astype(jnp.float32)
-    w = w_ref[0][..., None]                        # (T, P4, 1)
-    out_ref[0] = jnp.sum(g * w, axis=1).astype(out_ref.dtype)
+    # Mosaic supports only 2-D ops around tpu.dynamic_gather and no
+    # sublane-splitting reshapes, so reduce over the P4 corner slots with
+    # one full-table gather per slot (gather cost scales with the table,
+    # so T is chosen large to amortize).
+    table = val_ref[0]
+    acc = jnp.zeros((T, D), jnp.float32)
+    for j in range(P4):
+        idx_j = idx_ref[0, :, j : j + 1]              # (T, 1)
+        idxf = jnp.broadcast_to(idx_j, (T, D))
+        if HW > T:
+            idxf = jnp.pad(idxf, ((0, HW - T), (0, 0)))
+        g = jnp.take_along_axis(table, idxf, axis=0,
+                                mode="promise_in_bounds")
+        acc = acc + g[:T].astype(jnp.float32) * w_ref[0, :, j : j + 1]
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _msda_level_gather(value_l, ridx, w, interpret: bool = False):
     """value_l: (BM, HW, D); ridx/w: (BM, Lq, P4). Returns (BM, Lq, D)."""
     BM, HW, D = value_l.shape
     _, Lq, P4 = ridx.shape
-    # tile size: T*P4 must fit in HW (gather output shape == table shape)
-    T = max(8, min(256, HW // P4))
+    # gather output shape must equal the table shape, so T <= HW
+    T = max(8, min(2048, HW))
     pad = (-Lq) % T
     if pad:
         ridx = jnp.pad(ridx, ((0, 0), (0, pad), (0, 0)))
