@@ -72,7 +72,7 @@ class TrainLogger:
 
     def log_step(self, step: int, epoch: int, metrics: Dict[str, float]):
         self._count += 1
-        if step % self.interval != 0:
+        if step % self.interval != 0 and step != 1:
             return
         dt = time.time() - self._t0
         ips = self._count / max(dt, 1e-9)

@@ -61,15 +61,40 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
         preferred_element_type=jnp.float32,
     )  # (Tq, Tk)
 
-    # decomposed rel-pos bias for this key tile:
-    # key tile covers grid rows [kt*R, kt*R+R), all kw columns each.
+    # decomposed rel-pos bias for this key tile: the tile covers grid rows
+    # [kt*R, kt*R+R), all kw columns each. Mosaic forbids dynamic lane
+    # slices, so select the R relevant rel_h columns with a kt-dependent
+    # one-hot matmul and expand both terms to (Tq, Tk) with static 0/1
+    # expansion matrices — everything stays on the MXU/VPU.
     Tq = q.shape[0]
-    rw = rw_ref[0].astype(jnp.float32)         # (Tq, kw)
-    row0 = kt * rows_per_tile
-    rh_cols = rh_ref[0, :, pl.ds(row0, rows_per_tile)].astype(jnp.float32)
-    # (Tq, R) -> (Tq, R, 1) broadcast over kw; rw -> (Tq, 1, kw)
-    bias = rh_cols[:, :, None] + rw[:, None, :]
-    s = s + bias.reshape(Tq, rows_per_tile * kw)
+    R = rows_per_tile
+    Tk = R * kw
+    rh = rh_ref[0].astype(jnp.float32)          # (Tq, Kh)
+    rw = rw_ref[0].astype(jnp.float32)          # (Tq, kw)
+    Kh = rh.shape[-1]
+    row0 = kt * R
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, R), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, R), 1)
+    sel = (h_ids == row0 + r_ids).astype(jnp.float32)      # (Kh, R)
+    rh_sel = jax.lax.dot_general(
+        rh, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Tq, R)
+    # static expansions: E_R[r, r*kw + w] = 1 ; E_W[w, r*kw + w] = 1
+    col_r = jax.lax.broadcasted_iota(jnp.int32, (R, Tk), 1) // kw
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (R, Tk), 0)
+    e_r = (col_r == row_r).astype(jnp.float32)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, Tk), 1) % kw
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, Tk), 0)
+    e_w = (col_w == row_w).astype(jnp.float32)
+    bias = jax.lax.dot_general(
+        rh_sel, e_r, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        rw, e_w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias
 
     m_prev = m_scr[:]                          # (Tq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)

@@ -91,8 +91,9 @@ def _gather_kernel(P4: int, T: int, D: int, HW: int,
     # Mosaic supports only 2-D ops around tpu.dynamic_gather and no
     # sublane-splitting reshapes, so reduce over the P4 corner slots with
     # one full-table gather per slot (gather cost scales with the table,
-    # so T is chosen large to amortize).
-    table = val_ref[0]
+    # so T is chosen large to amortize). The gather requires index/result
+    # bitwidths to match: gather in f32 against int32 indices.
+    table = val_ref[0].astype(jnp.float32)
     acc = jnp.zeros((T, D), jnp.float32)
     for j in range(P4):
         idx_j = idx_ref[0, :, j : j + 1]              # (T, 1)
@@ -101,7 +102,7 @@ def _gather_kernel(P4: int, T: int, D: int, HW: int,
             idxf = jnp.pad(idxf, ((0, HW - T), (0, 0)))
         g = jnp.take_along_axis(table, idxf, axis=0,
                                 mode="promise_in_bounds")
-        acc = acc + g[:T].astype(jnp.float32) * w_ref[0, :, j : j + 1]
+        acc = acc + g[:T] * w_ref[0, :, j : j + 1]
     out_ref[0] = acc.astype(out_ref.dtype)
 
 

@@ -55,7 +55,7 @@ def test_train_and_test_cli(fake_deliver, tmp_path):
          "--work-dir", work, "--max-epochs", "2"],
         cwd=repo,
     )
-    assert "loss" in out
+    assert "loss" in out and '"eval"' in out
     ckpts = os.listdir(osp.join(work, "ckpts"))
     assert any(c.startswith("step_") for c in ckpts)
 
