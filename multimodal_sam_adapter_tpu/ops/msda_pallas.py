@@ -183,9 +183,9 @@ def _msda_level_loads(value_l, rbase, wmat, T: int = 128,
         grid=(BM, Lqp // T),
         in_specs=[
             pl.BlockSpec((1, T, P, 2), lambda bm, t: (bm, t, 0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, P, 4), lambda bm, t: (bm, t, 0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HW + _ALIGN, D), lambda bm, t: (bm, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
