@@ -49,43 +49,62 @@ def ms_deform_attn(
     assert L == len(spatial_shapes)
     assert S == sum(h * w for h, w in spatial_shapes)
 
-    out = jnp.zeros((B, M, Lq, D), dtype=value.dtype)
+    out = jnp.zeros((B, M, Lq, D), dtype=jnp.float32)
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         val = value[:, offset : offset + H * W]  # (B, HW, M, D)
         offset += H * W
-        val = val.transpose(0, 2, 1, 3)  # (B, M, HW, D)
+        # (B*M, H, W, D): one gather per sample fetches the whole 2x2
+        # bilinear footprint (slice_sizes (2, 2, D)) — 4x fewer, 4x wider
+        # transfers than per-corner gathers
+        val = val.transpose(0, 2, 1, 3).reshape(B * M, H, W, D)
 
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
         # grid_sample(align_corners=False) pixel coords: loc*size - 0.5
-        x = loc[..., 0] * W - 0.5
-        y = loc[..., 1] * H - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        tx = x - x0
-        ty = y - y0
-        x0 = x0.astype(jnp.int32)
-        y0 = y0.astype(jnp.int32)
-        att = attention_weights[:, :, :, lvl]  # (B, Lq, M, P)
+        x = loc[..., 0].astype(jnp.float32) * W - 0.5
+        y = loc[..., 1].astype(jnp.float32) * H - 0.5
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        tx = x - x0f
+        ty = y - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        cx0 = jnp.clip(x0, 0, max(W - 2, 0))
+        cy0 = jnp.clip(y0, 0, max(H - 2, 0))
 
-        for dy in (0, 1):
-            for dx in (0, 1):
-                xi = x0 + dx
-                yi = y0 + dy
-                wgt = (tx if dx else 1.0 - tx) * (ty if dy else 1.0 - ty)
-                # zeros padding: out-of-bounds corners contribute nothing
-                valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-                idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-                idx = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
-                g = jnp.take_along_axis(val, idx[..., None], axis=2)
-                w_full = (wgt * valid.astype(wgt.dtype) * att).astype(value.dtype)
-                w_full = w_full.transpose(0, 2, 1, 3)  # (B, M, Lq, P)
-                out = out + jnp.einsum(
-                    "bmqp,bmqpd->bmqd",
-                    w_full,
-                    g.reshape(B, M, Lq, P, D),
-                )
-    return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+        def slot_w(c, i0, t):
+            # weight of loaded slot c: (1-t) at c==i0, t at c==i0+1, else 0
+            # (encodes both the bilinear weight and zeros-padding validity)
+            return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1, t, 0.0))
+
+        wx = jnp.stack([slot_w(cx0, x0, tx), slot_w(cx0 + 1, x0, tx)], -1)
+        wy = jnp.stack([slot_w(cy0, y0, ty), slot_w(cy0 + 1, y0, ty)], -1)
+        att = attention_weights[:, :, :, lvl].astype(jnp.float32)
+        wmat = (wy[..., :, None] * wx[..., None, :]) * att[..., None, None]
+        # (B, Lq, M, P, 2, 2) -> (B*M, Lq*P, 2, 2)
+        wmat = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(B * M, Lq * P, 2, 2)
+
+        starts = jnp.stack([cy0, cx0], -1)  # (B, Lq, M, P, 2)
+        starts = starts.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq * P, 2)
+
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(1, 2),
+            operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,),
+        )
+        g = jax.lax.gather(
+            val, starts, dnums, slice_sizes=(1, 2, 2, D),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # (B*M, Lq*P, 2, 2, D)
+        o = jnp.einsum(
+            "bnyx,bnyxd->bnd", wmat, g.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + o.reshape(B, M, Lq, P, D).sum(3)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+    return out.astype(value.dtype)
 
 
 def msda_directional_bias_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
