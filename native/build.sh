@@ -1,0 +1,6 @@
+#!/bin/bash
+# Build the native pipeline core.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -fPIC -shared -o libmsa_pipeline.so pipeline_core.cpp
+echo "built native/libmsa_pipeline.so"
