@@ -38,8 +38,9 @@ def main():
     )
 
     def make_fn(n):
+        # variables/img threaded as args so they don't bake into the HLO
         @jax.jit
-        def fn():
+        def fn(variables, img):
             def body(c, _):
                 out = model.apply(variables, img + c, train=False)
                 return c + jnp.bfloat16(1e-3), jnp.sum(out.astype(jnp.float32))
@@ -50,9 +51,9 @@ def main():
     times = {}
     for n in (1, 9):
         fn = make_fn(n)
-        float(fn())  # compile + sync
+        float(fn(variables, img))  # compile + sync
         t0 = time.perf_counter()
-        float(fn())
+        float(fn(variables, img))
         times[n] = time.perf_counter() - t0
     per_img = (times[9] - times[1]) / 8.0
     ips = 1.0 / per_img
