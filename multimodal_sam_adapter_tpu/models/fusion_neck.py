@@ -26,6 +26,58 @@ from flax import linen as nn
 from ..nn.layers import BatchNorm, GroupNorm, LayerNorm, Scale, Scale2, h_swish
 
 
+class GroupedConvDense(nn.Module):
+    """Grouped conv executed as a block-diagonal DENSE conv.
+
+    XLA-TPU lowers grouped convs with few channels per group (here 32 groups
+    of 3..12 channels) into many tiny convs — measured as the fusion neck's
+    dominant cost. A dense conv whose kernel is the grouped kernel scattered
+    onto a block-diagonal full kernel does ~G x more MACs but runs as ONE
+    MXU-shaped conv; at these sizes the dense FLOPs are negligible while the
+    wall-clock improves by an order of magnitude. Parameters keep the grouped
+    (kh, kw, Cin/G, Cout) shape for checkpoint parity.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    groups: int
+    padding: int = 0
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        Cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        G = self.groups
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, Cin // G, self.features),
+        )
+        cin_g = Cin // G
+        cout_g = self.features // G
+        # vectorized block-diagonal expansion: scatter each group's
+        # (cin_g, cout_g) block onto the (Cin, Cout) diagonal
+        kr = kernel.reshape(kh, kw, cin_g, G, cout_g)
+        eye = jnp.eye(G, dtype=kernel.dtype)
+        dense = jnp.einsum("hwixo,gx->hwgixo", kr, eye)
+        dense = dense.reshape(kh, kw, Cin, self.features)
+        if self.dtype is not None:
+            dense = dense.astype(self.dtype)
+            x = x.astype(self.dtype)
+        pad = [(self.padding, self.padding)] * 2
+        out = jax.lax.conv_general_dilated(
+            x, dense, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            out = out + self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            ).astype(out.dtype)
+        return out
+
+
 class ChannelAttention(nn.Module):
     """AttentionBase (reference :72-106): transposed (channel) attention.
 
@@ -42,13 +94,12 @@ class ChannelAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        qkv = nn.Conv(
-            self.dim * 3, (1, 1), feature_group_count=self.groups, use_bias=False,
+        qkv = GroupedConvDense(
+            self.dim * 3, (1, 1), groups=self.groups,
             dtype=self.dtype, name="qkv1",
         )(x)
-        qkv = nn.Conv(
-            self.dim * 3, (3, 3), padding=[(1, 1), (1, 1)],
-            feature_group_count=self.groups, use_bias=False,
+        qkv = GroupedConvDense(
+            self.dim * 3, (3, 3), groups=self.groups, padding=1,
             dtype=self.dtype, name="qkv2",
         )(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -105,10 +156,9 @@ class GatedDWConvMlp(nn.Module):
         hidden = int(self.in_features * self.ffn_expansion_factor)
         x = nn.Conv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_in")(x)
-        x = nn.Conv(
-            hidden * 2, (3, 3), padding=[(1, 1), (1, 1)],
-            feature_group_count=hidden, use_bias=False, dtype=self.dtype,
-            name="dwconv",
+        x = GroupedConvDense(
+            hidden * 2, (3, 3), groups=hidden, padding=1,
+            dtype=self.dtype, name="dwconv",
         )(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = nn.gelu(x1, approximate=False) * x2

@@ -50,6 +50,22 @@ def test_depthwise_conv_mapping():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_grouped_conv_dense_matches_torch_grouped():
+    """GroupedConvDense (block-diagonal dense execution) vs torch grouped
+    conv with the same grouped-shaped kernel."""
+    from multimodal_sam_adapter_tpu.models.fusion_neck import GroupedConvDense
+
+    torch.manual_seed(7)
+    G, Cin, Cout = 4, 12, 24
+    conv = torch.nn.Conv2d(Cin, Cout, 3, padding=1, groups=G, bias=False)
+    x = torch.randn(2, Cin, 10, 10)
+    want = conv(x).detach().numpy().transpose(0, 2, 3, 1)
+    mod = GroupedConvDense(Cout, (3, 3), groups=G, padding=1)
+    params = {"params": {"kernel": jnp.array(t_conv(conv.weight.detach().numpy()))}}
+    got = np.asarray(mod.apply(params, jnp.array(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_conv_transpose_mapping():
     """The backbone's `up` layer: ConvTranspose2d(C, C, 2, 2)."""
     torch.manual_seed(3)
