@@ -96,14 +96,23 @@ def ms_deform_attn(
             operand_batching_dims=(0,),
             start_indices_batching_dims=(0,),
         )
-        g = jax.lax.gather(
-            val, starts, dnums, slice_sizes=(1, 2, 2, D),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )  # (B*M, Lq*P, 2, 2, D)
-        o = jnp.einsum(
-            "bnyx,bnyxd->bnd", wmat, g.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+
+        # chunk the gather over samples: the (BM, n, 2, 2, D) f32 footprint
+        # buffer would otherwise reach ~0.7 GB per call at 1024^2 shapes
+        n_total = Lq * P
+        chunk = min(n_total, max(4096 * P, 4096))
+        parts = []
+        for s in range(0, n_total, chunk):
+            e = min(s + chunk, n_total)
+            g = jax.lax.gather(
+                val, starts[:, s:e], dnums, slice_sizes=(1, 2, 2, D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (B*M, e-s, 2, 2, D)
+            parts.append(jnp.einsum(
+                "bnyx,bnyxd->bnd", wmat[:, s:e], g,
+                preferred_element_type=jnp.float32,
+            ))
+        o = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         out = out + o.reshape(B, M, Lq, P, D).sum(3)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
     return out.astype(value.dtype)
