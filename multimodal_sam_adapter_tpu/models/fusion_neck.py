@@ -143,6 +143,44 @@ class GFE(nn.Module):
         return x + y
 
 
+class PairedDWConv(nn.Module):
+    """Grouped 3x3 conv with 2 channels per group (Cin = Cout = 2G), executed
+    as FOUR true depthwise convs (XLA's optimized depthwise path) instead of
+    a block-diagonal dense conv whose expanded kernel would be huge at wide
+    levels. Group g: out[2g+o] = sum_i dw_{i,o}(x[2g+i]).
+    Parameter keeps the grouped (kh, kw, 2, 2G) layout for checkpoint parity.
+    """
+
+    features: int  # = 2G
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        G = C // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 2, C)
+        )
+        k = kernel.reshape(3, 3, 2, G, 2)  # (kh, kw, ci, g, co)
+        if self.dtype is not None:
+            k = k.astype(self.dtype)
+        xr = x.reshape(B, H, W, G, 2)
+        xs = [xr[..., 0], xr[..., 1]]  # each (B, H, W, G)
+        outs = []
+        for co in range(2):
+            acc = None
+            for ci in range(2):
+                dw = jax.lax.conv_general_dilated(
+                    xs[ci], k[:, :, ci, :, co][..., None, :],
+                    (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=G,
+                )
+                acc = dw if acc is None else acc + dw
+            outs.append(acc)
+        return jnp.stack(outs, axis=-1).reshape(B, H, W, C)
+
+
 class GatedDWConvMlp(nn.Module):
     """Mlp (reference :107-129): 1x1 expand(2x hidden) -> dwconv 3x3 (2 ch per
     group) -> gelu(x1)*x2 gate -> 1x1 project."""
@@ -156,10 +194,7 @@ class GatedDWConvMlp(nn.Module):
         hidden = int(self.in_features * self.ffn_expansion_factor)
         x = nn.Conv(hidden * 2, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_in")(x)
-        x = GroupedConvDense(
-            hidden * 2, (3, 3), groups=hidden, padding=1,
-            dtype=self.dtype, name="dwconv",
-        )(x)
+        x = PairedDWConv(hidden * 2, dtype=self.dtype, name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = nn.gelu(x1, approximate=False) * x2
         return nn.Conv(self.in_features, (1, 1), use_bias=False,

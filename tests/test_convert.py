@@ -66,6 +66,21 @@ def test_grouped_conv_dense_matches_torch_grouped():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_paired_dwconv_matches_torch_grouped():
+    """PairedDWConv (4 depthwise convs) vs torch conv with 2 ch/group."""
+    from multimodal_sam_adapter_tpu.models.fusion_neck import PairedDWConv
+
+    torch.manual_seed(8)
+    G = 6
+    conv = torch.nn.Conv2d(2 * G, 2 * G, 3, padding=1, groups=G, bias=False)
+    x = torch.randn(2, 2 * G, 9, 9)
+    want = conv(x).detach().numpy().transpose(0, 2, 3, 1)
+    mod = PairedDWConv(2 * G)
+    params = {"params": {"kernel": jnp.array(t_conv(conv.weight.detach().numpy()))}}
+    got = np.asarray(mod.apply(params, jnp.array(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_conv_transpose_mapping():
     """The backbone's `up` layer: ConvTranspose2d(C, C, 2, 2)."""
     torch.manual_seed(3)
