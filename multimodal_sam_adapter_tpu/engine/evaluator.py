@@ -53,7 +53,8 @@ class Evaluator:
         self.out_dir = out_dir
 
     def run(self, pipeline=None, max_samples: Optional[int] = None,
-            format_only: bool = False, progress_every: int = 50) -> Dict:
+            format_only: bool = False, show: bool = False,
+            opacity: float = 0.5, progress_every: int = 50) -> Dict:
         flat: List[Hist] = []
         nested: Dict[str, Dict[str, List[Hist]]] = {}
         dumped = []
@@ -73,6 +74,19 @@ class Evaluator:
             mode = self.engine.test_cfg.get("mode", "whole")
             if mode in ("whole", "slide"):
                 pred = pred[: ori_hw[0], : ori_hw[1]]
+            if show and self.out_dir:
+                # palette-blended dump under prediction/<condition>/<case>/
+                # (reference test_bs.py:290-316)
+                from .visualize import dump_prediction
+
+                raw = self.dataset[i]["img"][..., :3].astype(np.uint8)
+                dump_prediction(
+                    self.out_dir, sample["meta"].get("condition"),
+                    sample["meta"].get("case"),
+                    sample["meta"]["stem"].replace("/", "_") + ".png",
+                    raw, pred, getattr(self.dataset, "PALETTE", None) or
+                    [[i, i, i] for i in range(256)], opacity,
+                )
             if format_only and hasattr(self.dataset, "format_results"):
                 dumped += self.dataset.format_results(
                     [pred], [sample["meta"]["stem"]], self.out_dir or "results"

@@ -73,7 +73,8 @@ def main():
     ev = Evaluator(engine, ds, m["num_classes"], case_aware=case_aware,
                    out_dir=args.show_dir)
     results = ev.run(pipeline=pipe, max_samples=args.max_samples,
-                     format_only=args.format_only)
+                     format_only=args.format_only,
+                     show=args.show_dir is not None)
     ev.print_tables(results)
     stamp = time.strftime("%Y%m%d_%H%M%S")
     out_json = osp.join(args.show_dir or ".", f"eval_single_scale_{stamp}.json")
