@@ -1,0 +1,79 @@
+"""Inference engine mode tests on the tiny model (CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodal_sam_adapter_tpu.engine.inference import InferenceEngine
+from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
+from tests.test_model_forward import TINY_BACKBONE
+
+
+@pytest.fixture(scope="module")
+def engine_vars():
+    model = EncoderDecoder(num_classes=5, head_channels=16,
+                           backbone_cfg=TINY_BACKBONE)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 6)),
+                           train=False)
+    return model, variables
+
+
+def test_whole_dim(engine_vars):
+    model, variables = engine_vars
+    eng = InferenceEngine(model, variables,
+                          dict(mode="whole_dim", rescale=True, dim=(96, 96)))
+    img = jnp.ones((1, 64, 64, 6))
+    probs = eng.inference(img)
+    assert probs.shape == (1, 96, 96, 5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+    pred = eng.predict(img)
+    assert pred.shape == (1, 96, 96)
+
+
+def test_whole_dim_cut(engine_vars):
+    model, variables = engine_vars
+    eng = InferenceEngine(
+        model, variables,
+        dict(mode="whole_dim_cut", rescale=False, dim=(48, 64),
+             cut_dim=(48, 32)),  # (w, h) -> crop [:32, :48]
+    )
+    out = eng.inference(jnp.ones((1, 64, 64, 6)))
+    assert out.shape == (1, 32, 48, 5)
+
+
+def test_slide_matches_whole_on_single_window(engine_vars):
+    """crop == image size -> slide must equal whole inference exactly."""
+    model, variables = engine_vars
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 6))
+    eng_s = InferenceEngine(model, variables,
+                            dict(mode="slide", crop_size=(64, 64),
+                                 stride=(64, 64)))
+    eng_w = InferenceEngine(model, variables, dict(mode="whole"))
+    np.testing.assert_allclose(
+        np.asarray(eng_s.inference(img)), np.asarray(eng_w.inference(img)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_slide_overlap_count_normalization(engine_vars):
+    model, variables = engine_vars
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 64, 6))
+    eng = InferenceEngine(model, variables,
+                          dict(mode="slide", crop_size=(64, 64),
+                               stride=(32, 64)))
+    probs = eng.inference(img)
+    assert probs.shape == (1, 128, 64, 5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_flip_tta_averaging(engine_vars):
+    model, variables = engine_vars
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 6))
+    eng = InferenceEngine(model, variables, dict(mode="whole"))
+    flipped = jnp.flip(img, axis=2)
+    p = eng.inference(img)
+    pf = eng.inference(flipped, flip=True)
+    # flip-undo must map the flipped-input probs back into image frame
+    assert pf.shape == p.shape
+    pred = eng.aug_test([img, flipped], [False, True], None)
+    assert pred.shape == (1, 64, 64)
