@@ -54,9 +54,11 @@ OPTIMIZER = dict(
 # norm_by_max=True -> divide by 255 first; aux modality mean 0 / std 1)
 IMAGENET_RGB = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
 UNIT_AUX = dict(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
-# MUSES uses measured lidar/event stats and no norm_by_max for aux npz
-MUSES_RGB = dict(mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375))
-MUSES_LIDAR = dict(mean=(1.4628, 1.8271, 0.0781), std=(7.5568, 9.8500, 0.6701))
+# MUSES (reference configs/MUSES/*): norm_by_max divides ONLY the RGB slice
+# by 255 (ImageNet 0-1 stats); aux uses measured stats, no BGR flip
+MUSES_RGB = IMAGENET_RGB
+MUSES_LIDAR = dict(mean=(1.4628459, 1.8271197, 0.07808967),
+                   std=(7.55678107, 9.85001751, 0.67012253))
 MUSES_EVENT = dict(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
 
 
@@ -66,9 +68,10 @@ def _deliver(modality: str, mod_suffix: str) -> dict:
         dataset=dict(
             type="DELIVER",
             num_classes=25,
-            img_dir="samples/images",
-            ann_dir="samples/annotations",
-            mod_dir=f"samples/{modality}",
+            img_dir="samples/images/{split}",
+            ann_dir="samples/annotations/{split}",
+            mod_dir="samples/" + modality + "/{split}",
+            split_names=dict(train="training", val="validation", test="test"),
             img_suffix="_rgb_front.png",
             seg_map_suffix="_semantic_front.png",
             mod_suffix=mod_suffix,
@@ -115,9 +118,10 @@ def _fmb(split: str = "val") -> dict:
         dataset=dict(
             type=f"FMB_{split}",
             num_classes=14,
-            img_dir="Visible",
-            ann_dir="Label",
-            mod_dir="Infrared",
+            img_dir="{split}/Visible",
+            ann_dir="{split}/Label",
+            mod_dir="{split}/Infrared",
+            split_names=dict(train="train", val="val", test="test"),
             img_suffix=".png",
             seg_map_suffix=".png",
             mod_suffix=".png",
@@ -168,9 +172,10 @@ def _muses(modality: str) -> dict:
         dataset=dict(
             type="MUSES",
             num_classes=19,
-            img_dir="frame_camera",
-            ann_dir="gt_semantic",
-            mod_dir=f"{modality}",
+            img_dir="frame_camera/{split}",
+            ann_dir="gt_semantic/{split}",
+            mod_dir="projected_to_rgb/" + modality + "/{split}",
+            split_names=dict(train="train", val="val", test="test"),
             img_suffix=".png",
             seg_map_suffix="_gt_labelTrainIds.png",
             mod_suffix=".npz",
@@ -192,12 +197,14 @@ def _muses(modality: str) -> dict:
             crop=dict(crop_size=(1024, 1024), cat_max_ratio=0.75),
             flip=dict(prob=0.5),
             photometric=True,
-            normalize=dict(rgb=MUSES_RGB, aux=aux_norm, norm_by_max=False),
+            normalize=dict(rgb=MUSES_RGB, aux=aux_norm, norm_by_max=True,
+                           rgb_only_255=True, to_rgb=(True, False)),
             pad=dict(size=(1024, 1024), pad_val=0, seg_pad_val=255),
         ),
         test_pipeline=dict(
             resize=dict(img_scale=(2048, 1024), keep_ratio=True),
-            normalize=dict(rgb=MUSES_RGB, aux=aux_norm, norm_by_max=False),
+            normalize=dict(rgb=MUSES_RGB, aux=aux_norm, norm_by_max=True,
+                           rgb_only_255=True, to_rgb=(True, False)),
         ),
         test_cfg=dict(mode="slide", crop_size=(1024, 1024), stride=(640, 640)),
         optimizer=dict(OPTIMIZER),

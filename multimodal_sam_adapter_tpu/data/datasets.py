@@ -276,13 +276,23 @@ _DATASETS = {
 }
 
 
-def build_dataset(cfg: dict, data_root: str, test_mode: bool = False):
+def build_dataset(cfg: dict, data_root: str, test_mode: bool = False,
+                  split: str = None):
+    """Build a dataset; '{split}' in dir templates is resolved via
+    cfg['split_names'] (reference configs use per-split directory trees)."""
     cls = _DATASETS[cfg["type"]]
+    if split is None:
+        split = "test" if test_mode else "train"
+    name = cfg.get("split_names", {}).get(split, split)
+
+    def sub(d):
+        return d.format(split=name) if d else d
+
     return cls(
         data_root=data_root,
-        img_dir=cfg["img_dir"],
-        ann_dir=cfg.get("ann_dir"),
-        mod_dir=cfg["mod_dir"],
+        img_dir=sub(cfg["img_dir"]),
+        ann_dir=sub(cfg.get("ann_dir")),
+        mod_dir=sub(cfg["mod_dir"]),
         img_suffix=cfg["img_suffix"],
         seg_map_suffix=cfg["seg_map_suffix"],
         mod_suffix=cfg["mod_suffix"],

@@ -337,9 +337,9 @@ class TrainPipeline:
             sample, self.modalities_ch,
             means=[n["rgb"]["mean"], n["aux"]["mean"]],
             stds=[n["rgb"]["std"], n["aux"]["std"]],
-            to_rgb=[True, True],
+            to_rgb=list(n.get("to_rgb", (True, True))),
             norm_by_max=n["norm_by_max"],
-            norm_by_max_rgb_only=not n["norm_by_max"],
+            norm_by_max_rgb_only=n.get("rgb_only_255", False),
         )
         sample = pad_to_size(
             sample, c["pad"]["size"], c["pad"]["pad_val"], c["pad"]["seg_pad_val"]
@@ -371,9 +371,9 @@ class TestPipeline:
             sample, self.modalities_ch,
             means=[n["rgb"]["mean"], n["aux"]["mean"]],
             stds=[n["rgb"]["std"], n["aux"]["std"]],
-            to_rgb=[True, True],
+            to_rgb=list(n.get("to_rgb", (True, True))),
             norm_by_max=n["norm_by_max"],
-            norm_by_max_rgb_only=not n["norm_by_max"],
+            norm_by_max_rgb_only=n.get("rgb_only_255", False),
         )
         if self.pad_size is not None:
             sample = pad_to_size(sample, self.pad_size)
