@@ -216,7 +216,10 @@ def make_optimizer(
         scales = jax.tree.map(lambda s, f: s * f, scales, fmask)
     mask = weight_decay_mask(params)
     tx = optax.chain(
-        optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+        # bf16 first moment: halves one optimizer-state copy; the second
+        # moment stays f32 (rsqrt precision)
+        optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps,
+                            mu_dtype=jnp.bfloat16),
         optax.add_decayed_weights(weight_decay, mask=mask),
         scale_by_tree(scales),
         optax.scale_by_schedule(schedule),

@@ -133,7 +133,7 @@ def main():
     eval_fn = None
     if cfg.get("evaluation"):
         val_cfg = dict(cfg["dataset"])
-        val_ds = build_dataset(val_cfg, args.data_root, test_mode=False)
+        val_ds = build_dataset(val_cfg, args.data_root, split="val")
         test_pipe = TestPipeline(cfg["test_pipeline"],
                                  cfg["dataset"]["modalities_ch"])
 
