@@ -249,6 +249,7 @@ class InteractionBlock(nn.Module):
     deform_ratio: float = 1.0
     extra_extractor: bool = False
     deterministic: bool = True
+    remat_blocks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -260,8 +261,14 @@ class InteractionBlock(nn.Module):
             deform_ratio=self.deform_ratio, init_values=self.init_values,
             dtype=self.dtype, name="injector",
         )(x, c)
+        block_cls = ViTBlock
+        if self.remat_blocks:
+            # nested remat: the stage remat bounds cross-stage liveness, the
+            # per-block remat bounds the backward working set to one block
+            block_cls = nn.remat(ViTBlock, prevent_cse=False,
+                                 static_argnums=(2, 3))
         for bid, win in zip(self.block_ids, self.block_windows):
-            x = ViTBlock(
+            x = block_cls(
                 dim=self.dim,
                 num_heads=self.vit_num_heads,
                 mlp_ratio=self.vit_mlp_ratio,

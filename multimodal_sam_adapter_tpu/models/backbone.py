@@ -141,6 +141,7 @@ class SAMAdapterBimodal(nn.Module):
                     si == len(self.interaction_indexes) - 1
                 ) and self.use_extra_extractor,
                 deterministic=deterministic,
+                remat_blocks=self.with_cp and train,
                 dtype=self.dtype,
                 name=f"interactions_{si}",
             )(xt, c)

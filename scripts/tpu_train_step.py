@@ -9,7 +9,7 @@ model = _flagship_model(dtype=jnp.bfloat16)
 key = jax.random.PRNGKey(0)
 state = init_train_state(model, (1, 1024, 1024, 6), key,
                          optimizer_kwargs=dict(steps_per_epoch=100, max_epochs=100,
-                                               grad_accum_steps=4))
+                                               grad_accum_steps=1))
 step = make_train_step(model, donate=True)
 img = jax.random.normal(key, (1, 1024, 1024, 6), jnp.bfloat16).astype(jnp.float32)
 gt = jax.random.randint(key, (1, 1024, 1024), 0, 25)
