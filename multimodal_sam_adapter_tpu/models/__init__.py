@@ -2,6 +2,7 @@ from .sam_vit import PatchEmbed, ViTAttention, ViTBlock, ImageEncoderViT
 from .twin_convnext import ConvNeXtBlock, TwinConvNeXt, CONVNEXT_ARCHS
 from .fusion_neck import RoadFormer2Neck
 from .adapter import (
+    SpatialPriorModule,
     SpatialPriorModuleBimodal,
     Injector,
     Extractor,

@@ -184,6 +184,42 @@ class Extractor(nn.Module):
         return query
 
 
+class SpatialPriorModule(nn.Module):
+    """Single-modality conv-stem SPM (reference adapter_modules...:665-726),
+    used when only RGB is given: stem (3 convs + maxpool) then 3 stride-2
+    conv stages, each BN+ReLU, projected to embed_dim by 1x1 convs."""
+
+    embed_dim: int = 1024
+    inplanes: int = 64
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, deterministic: bool = True):
+        from ..nn.layers import ConvNormAct
+
+        def block(feats, k, s, name):
+            return ConvNormAct(
+                features=feats, kernel_size=(k, k), strides=(s, s),
+                padding=1, norm="bn", act="relu", dtype=self.dtype, name=name,
+            )
+
+        c1 = block(self.inplanes, 3, 2, "stem1")(x, train=train)
+        c1 = block(self.inplanes, 3, 1, "stem2")(c1, train=train)
+        c1 = block(self.inplanes, 3, 1, "stem3")(c1, train=train)
+        c1 = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        c2 = block(2 * self.inplanes, 3, 2, "conv2")(c1, train=train)
+        c3 = block(4 * self.inplanes, 3, 2, "conv3")(c2, train=train)
+        c4 = block(4 * self.inplanes, 3, 2, "conv4")(c3, train=train)
+        outs = []
+        for i, f in enumerate((c1, c2, c3, c4)):
+            p = nn.Conv(self.embed_dim, (1, 1), use_bias=True,
+                        dtype=self.dtype, kernel_init=fan_out_conv_init,
+                        name=f"fc{i + 1}")(f)
+            B, Hl, Wl, C = p.shape
+            outs.append(p.reshape(B, Hl * Wl, C))
+        return tuple(outs)
+
+
 class SpatialPriorModuleBimodal(nn.Module):
     """TwinConvNeXt + fusion neck + 1x1 projections to ViT width.
 

@@ -69,15 +69,26 @@ class SAMAdapterBimodal(nn.Module):
         B, H_img, W_img, _ = x.shape
         deterministic = not train
 
-        # ---- spatial prior (twin ConvNeXt + fusion neck) -> pyramid tokens
-        c1, c2, c3, c4 = SpatialPriorModuleBimodal(
-            embed_dim=self.embed_dim,
-            conv_inplane=self.conv_inplane,
-            arch=self.arch,
-            conv_drop_path_rate=self.conv_drop_path_rate,
-            dtype=self.dtype,
-            name="spm",
-        )(x_rgb, x_aux, train=train, deterministic=deterministic)
+        # ---- spatial prior -> pyramid tokens: twin ConvNeXt + fusion neck
+        # for multimodal inputs; plain conv-stem SPM when only RGB is given
+        if len(self.modalities_ch) > 1:
+            c1, c2, c3, c4 = SpatialPriorModuleBimodal(
+                embed_dim=self.embed_dim,
+                conv_inplane=self.conv_inplane,
+                arch=self.arch,
+                conv_drop_path_rate=self.conv_drop_path_rate,
+                dtype=self.dtype,
+                name="spm",
+            )(x_rgb, x_aux, train=train, deterministic=deterministic)
+        else:
+            from .adapter import SpatialPriorModule
+
+            c1, c2, c3, c4 = SpatialPriorModule(
+                embed_dim=self.embed_dim,
+                inplanes=self.conv_inplane,
+                dtype=self.dtype,
+                name="spm",
+            )(x_rgb, train=train, deterministic=deterministic)
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (3, self.embed_dim)

@@ -86,6 +86,17 @@ def test_train_step_grads(model_and_vars):
     assert gnorm > 0
 
 
+def test_single_modality_backbone():
+    """RGB-only config routes through the conv-stem SpatialPriorModule."""
+    cfg = dict(TINY_BACKBONE, modalities_ch=(3,), conv_inplane=16)
+    model = EncoderDecoder(num_classes=4, head_channels=8, backbone_cfg=cfg)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "stem1" in variables["params"]["backbone"]["spm"]
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 64, 64, 4)
+
+
 def test_ohem_matches_torch_semantics():
     """OHEM loss vs an independent torch expression of the PIDNet OHEM."""
     import torch
