@@ -49,16 +49,24 @@ def ms_deform_attn(
     assert L == len(spatial_shapes)
     assert S == sum(h * w for h, w in spatial_shapes)
 
+    # TPU layout note: tensors whose minor dim is D=32 pad 4x to the 128-lane
+    # tile and blow HBM during training. Everything below keeps big
+    # intermediates 128-minor: the gather fetches a (2 rows x 4 cols x D)
+    # window FLATTENED to (2, 4*D=128); the bilinear x-weights live on 4 col
+    # slots; the final per-point reduction is an MXU dot against a static
+    # (4*D, D) slot-collapse matrix.
     out = jnp.zeros((B, M, Lq, D), dtype=jnp.float32)
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
+        XS = min(4, W)  # gathered column slots (>= the 2-wide footprint)
+        collapse = jnp.asarray(
+            np.tile(np.eye(D, dtype=np.float32), (XS, 1)), jnp.float32
+        )  # (XS*D, D): out_d = sum_s wg[s*D + d]
         val = value[:, offset : offset + H * W]  # (B, HW, M, D)
         offset += H * W
-        # (B*M, H, W, D): one gather per sample fetches the whole 2x2
-        # bilinear footprint (slice_sizes (2, 2, D)) — 4x fewer, 4x wider
-        # transfers than per-corner gathers. f32 gathers measure ~1.5x
-        # faster than bf16 on v5e, so upcast the table first.
-        val = val.transpose(0, 2, 1, 3).reshape(B * M, H, W, D)
+        # (B*M, H, W*D) f32: rows on sublanes, (col, D) flattened on lanes
+        # (f32 gathers measure ~1.5x faster than bf16 on v5e)
+        val = val.transpose(0, 2, 1, 3).reshape(B * M, H, W * D)
         val = val.astype(jnp.float32)
 
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
@@ -71,47 +79,48 @@ def ms_deform_attn(
         ty = y - y0f
         x0 = x0f.astype(jnp.int32)
         y0 = y0f.astype(jnp.int32)
-        cx0 = jnp.clip(x0, 0, max(W - 2, 0))
-        cy0 = jnp.clip(y0, 0, max(H - 2, 0))
+        bx = jnp.clip(x0, 0, max(W - XS, 0))
+        by = jnp.clip(y0, 0, max(H - 2, 0))
 
         def slot_w(c, i0, t):
             # weight of loaded slot c: (1-t) at c==i0, t at c==i0+1, else 0
             # (encodes both the bilinear weight and zeros-padding validity)
             return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1, t, 0.0))
 
-        wx = jnp.stack([slot_w(cx0, x0, tx), slot_w(cx0 + 1, x0, tx)], -1)
-        wy = jnp.stack([slot_w(cy0, y0, ty), slot_w(cy0 + 1, y0, ty)], -1)
+        wx = jnp.stack([slot_w(bx + s, x0, tx) for s in range(XS)], -1)
+        wy = jnp.stack([slot_w(by, y0, ty), slot_w(by + 1, y0, ty)], -1)
         att = attention_weights[:, :, :, lvl].astype(jnp.float32)
+        # (B, Lq, M, P, 2, XS) corner weights with attention folded in
         wmat = (wy[..., :, None] * wx[..., None, :]) * att[..., None, None]
-        # (B, Lq, M, P, 2, 2) -> (B*M, Lq*P, 2, 2)
-        wmat = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(B * M, Lq * P, 2, 2)
+        wmat = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(B * M, Lq * P, 2, XS)
 
-        starts = jnp.stack([cy0, cx0], -1)  # (B, Lq, M, P, 2)
+        starts = jnp.stack([by, bx * D], -1)  # (B, Lq, M, P, 2)
         starts = starts.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq * P, 2)
 
         dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(2, 3, 4),
+            offset_dims=(2, 3),
             collapsed_slice_dims=(),
             start_index_map=(1, 2),
             operand_batching_dims=(0,),
             start_indices_batching_dims=(0,),
         )
 
-        # chunk the gather over samples: the (BM, n, 2, 2, D) f32 footprint
-        # buffer would otherwise reach ~0.7 GB per call at 1024^2 shapes
+        # chunk the gather: bounds the live f32 window buffers
         n_total = Lq * P
-        chunk = min(n_total, max(4096 * P, 4096))
+        chunk = min(n_total, 16384)
         parts = []
         for s in range(0, n_total, chunk):
             e = min(s + chunk, n_total)
             g = jax.lax.gather(
-                val, starts[:, s:e], dnums, slice_sizes=(1, 2, 2, D),
+                val, starts[:, s:e], dnums, slice_sizes=(1, 2, XS * D),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )  # (B*M, e-s, 2, 2, D)
-            parts.append(jnp.einsum(
-                "bnyx,bnyxd->bnd", wmat[:, s:e], g,
+            )  # (B*M, e-s, 2, XS*D) — 128-minor
+            w_wide = jnp.repeat(wmat[:, s:e], D, axis=-1)  # (BM, n, 2, XS*D)
+            wg = (g * w_wide).sum(2)  # (BM, n, XS*D)
+            parts.append(jax.lax.dot_general(
+                wg, collapse, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ))
+            ))  # (BM, n, D)
         o = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         out = out + o.reshape(B, M, Lq, P, D).sum(3)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
