@@ -59,9 +59,12 @@ def ms_deform_attn(
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         XS = min(4, W)  # gathered column slots (>= the 2-wide footprint)
+        # (P*2*XS*D, D) static slot-collapse: one MXU dot reduces points,
+        # rows and column slots at once (out_d = sum_{p,y,s} wg[pys*D + d]),
+        # so no P-broadcast appears in the backward
         collapse = jnp.asarray(
-            np.tile(np.eye(D, dtype=np.float32), (XS, 1)), jnp.float32
-        )  # (XS*D, D): out_d = sum_s wg[s*D + d]
+            np.tile(np.eye(D, dtype=np.float32), (P * 2 * XS, 1)), jnp.float32
+        )
         val = value[:, offset : offset + H * W]  # (B, HW, M, D)
         offset += H * W
         # (B*M, H, W*D) f32: rows on sublanes, (col, D) flattened on lanes
@@ -92,7 +95,10 @@ def ms_deform_attn(
         att = attention_weights[:, :, :, lvl].astype(jnp.float32)
         # (B, Lq, M, P, 2, XS) corner weights with attention folded in
         wmat = (wy[..., :, None] * wx[..., None, :]) * att[..., None, None]
-        wmat = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(B * M, Lq * P, 2, XS)
+        # (BM, Lq, P*2*XS) in [p][y][slot] minor order
+        wmat = wmat.transpose(0, 2, 1, 3, 4, 5).reshape(
+            B * M, Lq, P * 2 * XS
+        )
 
         starts = jnp.stack([by, bx * D], -1)  # (B, Lq, M, P, 2)
         starts = starts.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq * P, 2)
@@ -105,24 +111,25 @@ def ms_deform_attn(
             start_indices_batching_dims=(0,),
         )
 
-        # chunk the gather: bounds the live f32 window buffers
-        n_total = Lq * P
-        chunk = min(n_total, 16384)
+        # chunk over queries: bounds the live f32 window buffers
+        chunk = min(Lq, 4096)
         parts = []
-        for s in range(0, n_total, chunk):
-            e = min(s + chunk, n_total)
+        for s in range(0, Lq, chunk):
+            e = min(s + chunk, Lq)
             g = jax.lax.gather(
-                val, starts[:, s:e], dnums, slice_sizes=(1, 2, XS * D),
+                val, starts[:, s * P : e * P], dnums,
+                slice_sizes=(1, 2, XS * D),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )  # (B*M, e-s, 2, XS*D) — 128-minor
-            w_wide = jnp.repeat(wmat[:, s:e], D, axis=-1)  # (BM, n, 2, XS*D)
-            wg = (g * w_wide).sum(2)  # (BM, n, XS*D)
+            )  # (B*M, (e-s)*P, 2, XS*D) — 128-minor
+            # per-query rows with all (point, row, slot, D) flattened minor
+            g = g.reshape(B * M, e - s, P * 2 * XS * D)
+            w_wide = jnp.repeat(wmat[:, s:e], D, axis=-1)
             parts.append(jax.lax.dot_general(
-                wg, collapse, (((2,), (0,)), ((), ())),
+                g * w_wide, collapse, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ))  # (BM, n, D)
+            ))  # (BM, e-s, D)
         o = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-        out = out + o.reshape(B, M, Lq, P, D).sum(3)
+        out = out + o.reshape(B, M, Lq, D)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
     return out.astype(value.dtype)
 
