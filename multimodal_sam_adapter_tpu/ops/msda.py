@@ -111,24 +111,37 @@ def ms_deform_attn(
             start_indices_batching_dims=(0,),
         )
 
-        # chunk over queries: bounds the live f32 window buffers
+        # chunk over queries to bound the live f32 window buffers. Chunks
+        # run under lax.map with a rematerialized body: sequential on device
+        # (the scheduler cannot co-schedule all chunk buffers) and the
+        # backward recomputes each chunk's gather instead of saving it —
+        # the XLA analogue of the reference's streamed im2col/col2im.
         chunk = min(Lq, 4096)
-        parts = []
-        for s in range(0, Lq, chunk):
-            e = min(s + chunk, Lq)
+
+        def chunk_fn(args):
+            starts_c, wmat_c = args  # (BM, chunk*P, 2), (BM, chunk, P2XS)
             g = jax.lax.gather(
-                val, starts[:, s * P : e * P], dnums,
-                slice_sizes=(1, 2, XS * D),
+                val, starts_c, dnums, slice_sizes=(1, 2, XS * D),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )  # (B*M, (e-s)*P, 2, XS*D) — 128-minor
-            # per-query rows with all (point, row, slot, D) flattened minor
-            g = g.reshape(B * M, e - s, P * 2 * XS * D)
-            w_wide = jnp.repeat(wmat[:, s:e], D, axis=-1)
-            parts.append(jax.lax.dot_general(
+            )
+            g = g.reshape(B * M, chunk, P * 2 * XS * D)
+            w_wide = jnp.repeat(wmat_c, D, axis=-1)
+            return jax.lax.dot_general(
                 g * w_wide, collapse, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ))  # (BM, e-s, D)
-        o = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )  # (BM, chunk, D)
+
+        if Lq <= chunk:
+            o = chunk_fn((starts, wmat))
+        else:
+            pad = (-Lq) % chunk
+            sp = jnp.pad(starts, ((0, 0), (0, pad * P), (0, 0)))
+            wp = jnp.pad(wmat, ((0, 0), (0, pad), (0, 0)))
+            n_ch = (Lq + pad) // chunk
+            sp = sp.reshape(B * M, n_ch, chunk * P, 2).transpose(1, 0, 2, 3)
+            wp = wp.reshape(B * M, n_ch, chunk, -1).transpose(1, 0, 2, 3)
+            o = jax.lax.map(jax.checkpoint(chunk_fn), (sp, wp))
+            o = o.transpose(1, 0, 2, 3).reshape(B * M, Lq + pad, D)[:, :Lq]
         out = out + o.reshape(B, M, Lq, D)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
     return out.astype(value.dtype)
