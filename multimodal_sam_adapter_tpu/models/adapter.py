@@ -291,18 +291,23 @@ class InteractionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c):
         H, W = self.hw
-        x = Injector(
+        inj_cls = Injector
+        ext_cls = Extractor
+        block_cls = ViTBlock
+        if self.remat_blocks:
+            # nested remat: the stage remat bounds cross-stage liveness, the
+            # per-unit remat bounds the backward working set to one block /
+            # one deformable-attention call
+            block_cls = nn.remat(ViTBlock, prevent_cse=False,
+                                 static_argnums=(2, 3))
+            inj_cls = nn.remat(Injector, prevent_cse=False)
+            ext_cls = nn.remat(Extractor, prevent_cse=False)
+        x = inj_cls(
             dim=self.dim, query_hw=self.hw, value_shapes=self.pyramid_shapes,
             num_heads=self.num_heads, n_points=self.n_points,
             deform_ratio=self.deform_ratio, init_values=self.init_values,
             dtype=self.dtype, name="injector",
         )(x, c)
-        block_cls = ViTBlock
-        if self.remat_blocks:
-            # nested remat: the stage remat bounds cross-stage liveness, the
-            # per-block remat bounds the backward working set to one block
-            block_cls = nn.remat(ViTBlock, prevent_cse=False,
-                                 static_argnums=(2, 3))
         for bid, win in zip(self.block_ids, self.block_windows):
             x = block_cls(
                 dim=self.dim,
@@ -321,8 +326,8 @@ class InteractionBlock(nn.Module):
             drop_path=self.drop_path, deterministic=self.deterministic,
             dtype=self.dtype,
         )
-        c = Extractor(**ext_kw, name="extractor")(c, x)
+        c = ext_cls(**ext_kw, name="extractor")(c, x)
         if self.extra_extractor:
             for i in range(2):
-                c = Extractor(**ext_kw, name=f"extra_extractor{i}")(c, x)
+                c = ext_cls(**ext_kw, name=f"extra_extractor{i}")(c, x)
         return x, c
