@@ -175,9 +175,25 @@ def flash_attention_rel_pos(
     return out
 
 
+def _attn_from_terms(q, k, v, rh, rw, W, scale):
+    """Dense attention with the bias given as precomputed per-query terms —
+    chunkable over queries (used by the flash backward)."""
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    Bc, Nq, Nk = s.shape
+    H = Nk // W
+    bias = (rh.astype(jnp.float32)[:, :, :, None]
+            + rw.astype(jnp.float32)[:, :, None, :])
+    s = s + bias.reshape(Bc, Nq, Nk)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
-    from .attention import attention_with_decomposed_rel_pos
+    from .attention import rel_pos_bias_terms
+
+    H, W = q_hw
 
     @jax.custom_vjp
     def fn(q, k, v, rph, rpw):
@@ -190,12 +206,61 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
         return fn(q, k, v, rph, rpw), (q, k, v, rph, rpw)
 
     def bwd(res, g):
+        # Chunked dense backward: one q-band's (B, C, N) attention matrix
+        # live at a time (sequential lax.map + remat), instead of the full
+        # (B, N, N) f32 stack (~3 GB per global block at 1024^2).
         q, k, v, rph, rpw = res
-        _, vjp = jax.vjp(
-            lambda *a: attention_with_decomposed_rel_pos(*a, q_hw, scale),
-            q, k, v, rph, rpw,
+        B, N, d = q.shape
+        (rh, rw), vjp_terms = jax.vjp(
+            lambda q_, rph_, rpw_: rel_pos_bias_terms(
+                q_, rph_, rpw_, q_hw, q_hw
+            ),
+            q, rph, rpw,
         )
-        return vjp(g.astype(q.dtype))
+        rh = rh.reshape(B, N, H)
+        rw = rw.reshape(B, N, W)
+        C = min(512, N)
+
+        def chunk_bwd(args):
+            qc, rhc, rwc, gc = args
+
+            def f(qc_, rhc_, rwc_, k_, v_):
+                return _attn_from_terms(qc_, k_, v_, rhc_, rwc_, W, scale)
+
+            _, vjp_c = jax.vjp(f, qc, rhc, rwc, k, v)
+            return vjp_c(gc)
+
+        if N <= C:
+            dq, drh, drw, dk, dv = chunk_bwd((q, rh, rw, g))
+        else:
+            nch = N // C
+            assert N % C == 0
+
+            def stack(t):
+                return t.reshape(B, nch, C, *t.shape[2:]).transpose(
+                    1, 0, 2, *range(3, t.ndim + 1)
+                )
+
+            outs = jax.lax.map(
+                jax.checkpoint(chunk_bwd),
+                (stack(q), stack(rh), stack(rw), stack(g)),
+            )
+            dq_s, drh_s, drw_s, dk_s, dv_s = outs
+
+            def unstack(t):
+                return t.transpose(1, 0, 2, *range(3, t.ndim)).reshape(
+                    B, N, *t.shape[3:]
+                )
+
+            dq = unstack(dq_s)
+            drh = unstack(drh_s)
+            drw = unstack(drw_s)
+            dk = dk_s.sum(0)
+            dv = dv_s.sum(0)
+        dq2, drph, drpw = vjp_terms(
+            (drh.reshape(B, H, W, H), drw.reshape(B, H, W, W))
+        )
+        return (dq + dq2.astype(dq.dtype), dk, dv, drph, drpw)
 
     fn.defvjp(fwd, bwd)
     return fn

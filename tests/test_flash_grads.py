@@ -1,0 +1,35 @@
+"""Flash-attention custom VJP (chunked dense backward) vs autodiff of the
+dense reference path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_sam_adapter_tpu.ops.attention import (
+    attention_with_decomposed_rel_pos,
+)
+from multimodal_sam_adapter_tpu.ops.flash_attention import _make_diff_flash
+
+
+def test_flash_vjp_matches_dense():
+    rng = np.random.default_rng(0)
+    B, H, W, d = 2, 8, 8, 16
+    N = H * W
+    q = jnp.array(rng.standard_normal((B, N, d)), jnp.float32)
+    k = jnp.array(rng.standard_normal((B, N, d)), jnp.float32)
+    v = jnp.array(rng.standard_normal((B, N, d)), jnp.float32)
+    rph = jnp.array(rng.standard_normal((2 * H - 1, d)) * 0.3, jnp.float32)
+    rpw = jnp.array(rng.standard_normal((2 * W - 1, d)) * 0.3, jnp.float32)
+    g = jnp.array(rng.standard_normal((B, N, d)), jnp.float32)
+    scale = d ** -0.5
+
+    fn = _make_diff_flash((H, W), scale, 16, 2, True)  # interpret kernel
+    out_f, vjp_f = jax.vjp(fn, q, k, v, rph, rpw)
+    out_d, vjp_d = jax.vjp(
+        lambda *a: attention_with_decomposed_rel_pos(*a, (H, W), scale),
+        q, k, v, rph, rpw,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-5)
+    for gf, gd in zip(vjp_f(g), vjp_d(g)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-4)
