@@ -116,7 +116,7 @@ def ms_deform_attn(
         # (the scheduler cannot co-schedule all chunk buffers) and the
         # backward recomputes each chunk's gather instead of saving it —
         # the XLA analogue of the reference's streamed im2col/col2im.
-        chunk = min(Lq, 4096)
+        chunk = min(Lq, 2048)
 
         def chunk_fn(args):
             starts_c, wmat_c = args  # (BM, chunk*P, 2), (BM, chunk, P2XS)
