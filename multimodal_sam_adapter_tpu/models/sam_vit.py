@@ -29,8 +29,40 @@ from ..ops.attention import (
 )
 
 
+class PatchifyDense(nn.Module):
+    """Strided patch conv executed as space-to-depth + Dense.
+
+    Numerically identical to a stride-P, kernel-P conv, but avoids XLA's
+    conv-input layout on thin-channel images (3..6 channels lane-pad to 128,
+    a 20-40x HBM blowup on the saved activation). The parameter keeps the
+    conv HWIO shape (P, P, C, F) for checkpoint parity.
+    """
+
+    features: int
+    patch: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        P = self.patch
+        B, H, W, C = x.shape
+        Hp, Wp = H // P, W // P
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(), (P, P, C, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kmat = kern.reshape(P * P * C, self.features)
+        patches = x.reshape(B, Hp, P, Wp, P, C).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(B, Hp, Wp, P * P * C)
+        if self.dtype is not None:
+            kmat = kmat.astype(self.dtype)
+            patches = patches.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        return patches @ kmat + bias
+
+
 class PatchEmbed(nn.Module):
-    """16x16 conv patch embedding. Input NHWC; returns (B, Hp*Wp, C), Hp, Wp."""
+    """16x16 patch embedding. Input NHWC; returns (B, Hp*Wp, C), Hp, Wp."""
 
     embed_dim: int = 1024
     patch_size: int = 16
@@ -38,12 +70,8 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
+        x = PatchifyDense(
+            features=self.embed_dim, patch=self.patch_size, dtype=self.dtype,
             name="proj",
         )(x)
         B, Hp, Wp, C = x.shape

@@ -105,13 +105,11 @@ class _ConvNeXtBranch(nn.Module):
         block_idx = 0
         for i, (depth, ch) in enumerate(zip(self.depths, self.channels)):
             if i == 0:
-                x = nn.Conv(
-                    ch,
-                    kernel_size=(self.stem_patch_size,) * 2,
-                    strides=(self.stem_patch_size,) * 2,
-                    dtype=self.dtype,
-                    kernel_init=trunc_normal_init(0.02),
-                    name="stem_conv",
+                from .sam_vit import PatchifyDense
+
+                x = PatchifyDense(
+                    features=ch, patch=self.stem_patch_size,
+                    dtype=self.dtype, name="stem_conv",
                 )(x)
                 x = LayerNorm(eps=1e-6, dtype=self.dtype, name="stem_norm")(x)
             else:
