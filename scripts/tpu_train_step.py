@@ -1,4 +1,4 @@
-"""Train-step timing at the reference config (1024^2, batch 1, remat)."""
+"""Train-step timing at 768^2 batch 1 (1024^2 needs >16GB: multi-chip/ZeRO)."""
 import time, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -7,12 +7,12 @@ from multimodal_sam_adapter_tpu.engine.train import init_train_state, make_train
 
 model = _flagship_model(dtype=jnp.bfloat16)
 key = jax.random.PRNGKey(0)
-state = init_train_state(model, (1, 1024, 1024, 6), key,
+state = init_train_state(model, (1, 768, 768, 6), key,
                          optimizer_kwargs=dict(steps_per_epoch=100, max_epochs=100,
                                                grad_accum_steps=1))
 step = make_train_step(model, donate=True)
-img = jax.random.normal(key, (1, 1024, 1024, 6), jnp.bfloat16).astype(jnp.float32)
-gt = jax.random.randint(key, (1, 1024, 1024), 0, 25)
+img = jax.random.normal(key, (1, 768, 768, 6), jnp.bfloat16).astype(jnp.float32)
+gt = jax.random.randint(key, (1, 768, 768), 0, 25)
 batch = {"img": img, "gt": gt}
 rng = jax.random.PRNGKey(1)
 
