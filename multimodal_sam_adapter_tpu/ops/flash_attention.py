@@ -219,7 +219,8 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
         )
         rh = rh.reshape(B, N, H)
         rw = rw.reshape(B, N, W)
-        C = min(512, N)
+        C = next((c for c in (512, 384, 256, 128, 64) if N % c == 0), N)
+        C = min(C, N)
 
         def chunk_bwd(args):
             qc, rhc, rwc, gc = args
@@ -234,7 +235,6 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
             dq, drh, drw, dk, dv = chunk_bwd((q, rh, rw, g))
         else:
             nch = N // C
-            assert N % C == 0
 
             def stack(t):
                 return t.reshape(B, nch, C, *t.shape[2:]).transpose(
