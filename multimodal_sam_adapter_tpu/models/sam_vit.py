@@ -101,8 +101,13 @@ class ViTAttention(nn.Module):
         scale = head_dim**-0.5
         impl = self.impl
         if impl == "auto":
+            # flash only on lane-aligned global grids (W%64==0); a 48-wide
+            # grid miscompiled/crashed the worker on v5e — dense elsewhere
             big = H * W >= 1024 and (H * W) % 256 == 0
-            impl = "flash" if (jax.default_backend() == "tpu" and big) else "dense"
+            aligned = W % 64 == 0 and H % 8 == 0
+            impl = "flash" if (
+                jax.default_backend() == "tpu" and big and aligned
+            ) else "dense"
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
