@@ -110,6 +110,23 @@ def load_multimodal_image(
     return np.concatenate(parts, axis=2)
 
 
+def load_bin_ann(path: str, reduce_zero_label: bool = False) -> np.ndarray:
+    """Binary annotation load (reference LoadBinAnn, loading.py:611-678).
+
+    Grayscale load, 255 mapped to 1, then the overflow-safe reduce-zero
+    variant with the reference's 254 sentinel quirk.
+    """
+    gt = cv2.imread(path, cv2.IMREAD_GRAYSCALE).astype(np.uint8)
+    gt[gt == 255] = 1
+    if reduce_zero_label:
+        gt = gt.astype(np.int32)
+        gt[gt == 0] = 255
+        gt = gt - 1
+        gt[gt == 254] = 255
+        gt = np.clip(gt, 0, 255).astype(np.uint8)
+    return gt
+
+
 def load_annotation(path: str, reduce_zero_label: bool = False) -> np.ndarray:
     gt = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if gt.ndim == 3:
@@ -166,8 +183,14 @@ def random_scale_resize(sample: Dict, rng: np.random.Generator, img_scale,
 
 def random_crop(sample: Dict, rng: np.random.Generator,
                 crop_size: Tuple[int, int], cat_max_ratio: float = 1.0,
-                ignore_index: int = 255) -> Dict:
-    """(h, w) crop with the cat_max_ratio re-crop loop (up to 10 tries)."""
+                ignore_index: int = 255,
+                retry_multilabel: bool = False) -> Dict:
+    """(h, w) crop with the cat_max_ratio re-crop loop (up to 10 tries).
+
+    retry_multilabel=True reproduces RandomCropGen (transform.py:12-104):
+    re-crop rounds continue until the crop contains >= 2 distinct labels
+    (bounded here at 100 rounds to stay total on degenerate images).
+    """
     img = sample["img"]
     ch, cw = crop_size
 
@@ -180,13 +203,21 @@ def random_crop(sample: Dict, rng: np.random.Generator,
 
     y1, y2, x1, x2 = get_bbox()
     if sample.get("gt") is not None and cat_max_ratio < 1.0:
-        for _ in range(10):
-            gt = sample["gt"][y1:y2, x1:x2]
-            labels, counts = np.unique(gt, return_counts=True)
-            counts = counts[labels != ignore_index]
-            if len(counts) > 1 and counts.max() / counts.sum() < cat_max_ratio:
-                break
-            y1, y2, x1, x2 = get_bbox()
+        for round_ in range(100 if retry_multilabel else 1):
+            labels = np.empty(0)
+            for try_ in range(10):
+                gt = sample["gt"][y1:y2, x1:x2]
+                labels, counts = np.unique(gt, return_counts=True)
+                counts = counts[labels != ignore_index]
+                if len(counts) > 1 and counts.max() / counts.sum() < cat_max_ratio:
+                    break
+                if try_ < 9:
+                    y1, y2, x1, x2 = get_bbox()
+            else:
+                if retry_multilabel and len(labels) < 2:
+                    y1, y2, x1, x2 = get_bbox()
+                    continue  # RandomCropGen: keep re-cropping
+            break
     sample["img"] = img[y1:y2, x1:x2]
     if sample.get("gt") is not None:
         sample["gt"] = sample["gt"][y1:y2, x1:x2]
@@ -198,6 +229,123 @@ def random_flip(sample: Dict, rng: np.random.Generator, prob: float = 0.5) -> Di
         sample["img"] = np.ascontiguousarray(sample["img"][:, ::-1])
         if sample.get("gt") is not None:
             sample["gt"] = np.ascontiguousarray(sample["gt"][:, ::-1])
+    return sample
+
+
+def _imtranslate(img: np.ndarray, dx: float, dy: float, border_value: float,
+                 interpolation: str = "bilinear") -> np.ndarray:
+    """mmcv.imtranslate: affine shift with constant border."""
+    mat = np.float32([[1, 0, dx], [0, 1, dy]])
+    flags = _CV2_INTERP[interpolation]
+    bv = border_value
+    if img.ndim == 3 and img.shape[2] <= 4:
+        bv = tuple([float(border_value)] * img.shape[2])
+    out = cv2.warpAffine(img, mat, (img.shape[1], img.shape[0]), flags=flags,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=bv)
+    if img.ndim == 3 and out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
+def shift(sample: Dict, rng: np.random.Generator, x_trans: float,
+          y_trans: float, prob: float = 0.5, pad_val: float = 0,
+          seg_pad_val: int = 0) -> Dict:
+    """Random translation (reference Shift, transform.py:2139-2263).
+
+    Shift magnitudes are uniform in [-x_trans, x_trans] / [-y_trans, y_trans].
+    The GT uses nearest interpolation (the reference passed bilinear to
+    mmcv.imtranslate for label maps — a label-mixing bug we do not replicate).
+    """
+    if rng.random() < prob:
+        dx = rng.uniform(-1, 1) * x_trans
+        dy = rng.uniform(-1, 1) * y_trans
+        img = sample["img"]
+        if img.shape[2] > 4:
+            img = np.concatenate([
+                _imtranslate(img[..., s : s + 4], dx, dy, pad_val)
+                for s in range(0, img.shape[2], 4)
+            ], axis=2)
+        else:
+            img = _imtranslate(img, dx, dy, pad_val)
+        sample["img"] = img
+        if sample.get("gt") is not None:
+            sample["gt"] = _imtranslate(
+                sample["gt"], dx, dy, seg_pad_val, "nearest"
+            )
+    return sample
+
+
+def crop_rect(sample: Dict, box_crop: Tuple[float, float, float, float]) -> Dict:
+    """Fixed fractional-box crop (reference CropRect, transform.py:2827-2933).
+
+    box_crop = (y1, y2, x1, x2) as fractions of the image height/width.
+    """
+    fy1, fy2, fx1, fx2 = box_crop
+
+    def crop(a):
+        y1, y2 = int(fy1 * a.shape[0]), int(fy2 * a.shape[0])
+        x1, x2 = int(fx1 * a.shape[1]), int(fx2 * a.shape[1])
+        return a[y1:y2, x1:x2]
+
+    sample["img"] = crop(sample["img"])
+    if sample.get("gt") is not None:
+        sample["gt"] = crop(sample["gt"])
+    sample.setdefault("meta", {})["img_shape"] = sample["img"].shape
+    return sample
+
+
+def resize_shortest_edge(sample: Dict, scale, max_size: int) -> Dict:
+    """detectron2-style shortest-edge resize (reference ResizeShortestEdge,
+    transform.py:3262+): scale the short edge to `scale` unless the long edge
+    would exceed `max_size`, in which case fit the long edge to `max_size`."""
+    img = sample["img"]
+    h, w = img.shape[:2]
+    size = float(scale if isinstance(scale, (int, float)) else min(scale))
+    f = size / min(h, w)
+    nh, nw = (size, f * w) if h < w else (f * h, size)
+    if max(nh, nw) > max_size:
+        f2 = max_size / max(nh, nw)
+        nh, nw = nh * f2, nw * f2
+    nh, nw = int(nh + 0.5), int(nw + 0.5)
+    sample["img"] = _resize_multichannel(img, (nw, nh), "bilinear")
+    if sample.get("gt") is not None:
+        sample["gt"] = imresize(sample["gt"], (nw, nh), "nearest")
+    sample.setdefault("meta", {})["img_shape"] = sample["img"].shape
+    return sample
+
+
+def setr_resize(sample: Dict, rng: np.random.Generator, img_scale=None,
+                multiscale_mode: str = "range", ratio_range=None,
+                keep_ratio: bool = True, crop_size=None,
+                setr_multi_scale: bool = False) -> Dict:
+    """SETR-style multiscale resize (reference SETR_Resize,
+    transform.py:105-344): three scale-selection modes (fixed-scale x random
+    ratio / random long+short edge in a range / random choice among scales);
+    with setr_multi_scale, the sampled short edge is floored at crop_size."""
+    scales = ([tuple(img_scale)] if isinstance(img_scale[0], (int, float))
+              else [tuple(s) for s in img_scale])
+    if ratio_range is not None:
+        r = rng.uniform(*ratio_range)
+        scale = (int(scales[0][0] * r), int(scales[0][1] * r))
+    elif multiscale_mode == "range" and len(scales) == 2:
+        longs, shorts = [max(s) for s in scales], [min(s) for s in scales]
+        scale = (int(rng.integers(min(longs), max(longs) + 1)),
+                 int(rng.integers(min(shorts), max(shorts) + 1)))
+    else:  # 'value': random choice
+        scale = scales[int(rng.integers(len(scales)))]
+    if setr_multi_scale and crop_size is not None and min(scale) < crop_size:
+        scale = (max(scale) * crop_size // min(scale), crop_size)
+    img = sample["img"]
+    if keep_ratio:
+        sample["img"] = _rescale(img, scale)
+    else:
+        sample["img"] = _resize_multichannel(img, scale[::-1], "bilinear")
+    if sample.get("gt") is not None:
+        if keep_ratio:
+            sample["gt"] = imrescale(sample["gt"], scale, "nearest")
+        else:
+            sample["gt"] = imresize(sample["gt"], scale[::-1], "nearest")
+    sample.setdefault("meta", {})["img_shape"] = sample["img"].shape
     return sample
 
 

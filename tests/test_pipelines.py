@@ -113,3 +113,88 @@ def test_loader_sharding_and_determinism():
     dl2.set_epoch(3)
     b = [bb["img"][:, 0, 0, 0].astype(int).tolist() for bb in dl2]
     assert a == b
+
+
+def test_extra_transforms():
+    from multimodal_sam_adapter_tpu.data.pipelines import (
+        crop_rect, resize_shortest_edge, setr_resize, shift,
+    )
+    rng = np.random.default_rng(3)
+
+    # shift: prob=1 translation by integer offsets moves pixels exactly
+    s = _sample(16, 16, 6)
+    img0 = s["img"].copy()
+    gt0 = s["gt"].copy()
+
+    class FixedRng:
+        def random(self):
+            return 0.0  # always translate
+
+        def uniform(self, a, b):
+            return 1.0  # full positive offset
+
+    out = shift(dict(s), FixedRng(), x_trans=3, y_trans=2, prob=1.0,
+                pad_val=7, seg_pad_val=255)
+    np.testing.assert_allclose(out["img"][2:, 3:], img0[:-2, :-3], atol=1e-4)
+    assert (out["img"][:2] == 7).all() and (out["img"][:, :3] == 7).all()
+    np.testing.assert_array_equal(out["gt"][2:, 3:], gt0[:-2, :-3])
+    assert (out["gt"][:2] == 255).all()
+
+    # crop_rect: fractional box
+    s = _sample(20, 40, 6)
+    out = crop_rect(dict(s), (0.25, 0.75, 0.1, 0.6))
+    assert out["img"].shape == (10, 20, 6)
+    assert out["gt"].shape == (10, 20)
+
+    # resize_shortest_edge: short edge -> scale unless long edge caps
+    s = _sample(20, 40, 6)
+    out = resize_shortest_edge(dict(s), scale=10, max_size=100)
+    assert out["img"].shape[:2] == (10, 20)
+    out = resize_shortest_edge(_sample(20, 40, 6), scale=10, max_size=15)
+    assert out["img"].shape[1] == 15  # long edge capped
+
+    # setr_resize: 'value' mode picks one of the scales; keep_ratio fits inside
+    s = _sample(20, 40, 6)
+    out = setr_resize(dict(s), rng, img_scale=[(100, 50), (60, 30)],
+                      multiscale_mode="value")
+    # keep_ratio factor = min(long/max_side, short/min_side) = 2.5 or 1.5
+    assert out["img"].shape[0] in (50, 30)
+
+    # setr crop-size floor
+    out = setr_resize(_sample(20, 40, 6), rng, img_scale=(40, 20),
+                      ratio_range=(1.0, 1.0), crop_size=30,
+                      setr_multi_scale=True)
+    assert min(out["img"].shape[:2]) >= 15  # scale floored to (60, 30)
+
+
+def test_random_crop_gen_multilabel_retry():
+    # GT: two half-plane classes. Only crops crossing the boundary contain
+    # 2 labels (and then pass cat_max_ratio); single-label crops always fail,
+    # so plain random_crop gives up after 10 tries while the RandomCropGen
+    # retry loop keeps going until it lands on the boundary.
+    rng = np.random.default_rng(0)
+    s = _sample(64, 64, 6)
+    gt = np.zeros((64, 64), np.uint8)
+    gt[:, :32] = 1
+    s["gt"] = gt
+    hit = 0
+    for i in range(20):
+        out = random_crop(dict(s), np.random.default_rng(i), (8, 8),
+                          cat_max_ratio=0.99, retry_multilabel=True)
+        hit += len(np.unique(out["gt"])) >= 2
+    assert hit == 20
+
+
+def test_load_bin_ann(tmp_path):
+    import cv2
+    from multimodal_sam_adapter_tpu.data.pipelines import load_bin_ann
+
+    p = str(tmp_path / "ann.png")
+    ann = np.zeros((6, 6), np.uint8)
+    ann[2:4, 2:4] = 255
+    cv2.imwrite(p, ann)
+    out = load_bin_ann(p)
+    assert set(np.unique(out)) == {0, 1}
+    out = load_bin_ann(p, reduce_zero_label=True)
+    # 0 -> 255 (ignore), 255 -> 1 -> 0
+    assert set(np.unique(out)) == {0, 255}
