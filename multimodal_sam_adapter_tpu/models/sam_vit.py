@@ -15,6 +15,7 @@ the multimodal adapter can interleave injector/extractor stages
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -99,7 +100,7 @@ class ViTAttention(nn.Module):
         B, H, W, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        impl = self.impl
+        impl = os.environ.get("MSA_ATTN_IMPL", self.impl)
         if impl == "auto":
             # flash only on lane-aligned global grids (W%64==0); a 48-wide
             # grid miscompiled/crashed the worker on v5e — dense elsewhere

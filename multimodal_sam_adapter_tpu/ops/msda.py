@@ -19,6 +19,7 @@ backend.
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -32,6 +33,8 @@ def ms_deform_attn(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    xs: int = 4,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention core.
 
@@ -40,6 +43,10 @@ def ms_deform_attn(
       spatial_shapes: static list of (H_l, W_l) per level.
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), softmaxed over (L, P).
+      xs: gathered column slots per footprint (>= 2; 4 makes the gather
+        slice 128-lane-minor at D=32).
+      packed: gather bf16 value pairs bitcast as f32 (halves gather bytes;
+        table stays f32-typed for gather speed, payload is bf16).
 
     Returns:
       (B, Lq, M*D)
@@ -58,7 +65,7 @@ def ms_deform_attn(
     out = jnp.zeros((B, M, Lq, D), dtype=jnp.float32)
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
-        XS = min(4, W)  # gathered column slots (>= the 2-wide footprint)
+        XS = min(xs, W)  # gathered column slots (>= the 2-wide footprint)
         # (P*2*XS*D, D) static slot-collapse: one MXU dot reduces points,
         # rows and column slots at once (out_d = sum_{p,y,s} wg[pys*D + d]),
         # so no P-broadcast appears in the backward
@@ -70,7 +77,14 @@ def ms_deform_attn(
         # (B*M, H, W*D) f32: rows on sublanes, (col, D) flattened on lanes
         # (f32 gathers measure ~1.5x faster than bf16 on v5e)
         val = val.transpose(0, 2, 1, 3).reshape(B * M, H, W * D)
-        val = val.astype(jnp.float32)
+        if packed:
+            # bf16 channel pairs bitcast into f32 lanes: the gather moves
+            # half the bytes; payload precision is bf16
+            val = val.astype(jnp.bfloat16).reshape(B * M, H, W * D // 2, 2)
+            val = jax.lax.bitcast_convert_type(val, jnp.float32)
+        else:
+            val = val.astype(jnp.float32)
+        DU = D // 2 if packed else D  # gather units per column
 
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
         # grid_sample(align_corners=False) pixel coords: loc*size - 0.5
@@ -100,7 +114,7 @@ def ms_deform_attn(
             B * M, Lq, P * 2 * XS
         )
 
-        starts = jnp.stack([by, bx * D], -1)  # (B, Lq, M, P, 2)
+        starts = jnp.stack([by, bx * DU], -1)  # (B, Lq, M, P, 2)
         starts = starts.transpose(0, 2, 1, 3, 4).reshape(B * M, Lq * P, 2)
 
         dnums = jax.lax.GatherDimensionNumbers(
@@ -121,9 +135,11 @@ def ms_deform_attn(
         def chunk_fn(args):
             starts_c, wmat_c = args  # (BM, chunk*P, 2), (BM, chunk, P2XS)
             g = jax.lax.gather(
-                val, starts_c, dnums, slice_sizes=(1, 2, XS * D),
+                val, starts_c, dnums, slice_sizes=(1, 2, XS * DU),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
             )
+            if packed:
+                g = jax.lax.bitcast_convert_type(g, jnp.bfloat16)
             g = g.reshape(B * M, chunk, P * 2 * XS * D)
             w_wide = jnp.repeat(wmat_c, D, axis=-1)
             return jax.lax.dot_general(
@@ -141,6 +157,115 @@ def ms_deform_attn(
             sp = sp.reshape(B * M, n_ch, chunk * P, 2).transpose(1, 0, 2, 3)
             wp = wp.reshape(B * M, n_ch, chunk, -1).transpose(1, 0, 2, 3)
             o = jax.lax.map(jax.checkpoint(chunk_fn), (sp, wp))
+            o = o.transpose(1, 0, 2, 3).reshape(B * M, Lq + pad, D)[:, :Lq]
+        out = out + o.reshape(B, M, Lq, D)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
+    return out.astype(value.dtype)
+
+
+def ms_deform_attn_onehot(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """MSDA core as weighted-one-hot MATMULS — zero gathers/scatters.
+
+    For each level, the bilinear sample + attention-weighted reduction is
+    exactly out[q] = sum_s Wmat[q, s] * table[s], where Wmat has at most
+    P*4 nonzeros per row (the corner weights). Wmat tiles are DENSELY built
+    from iota-vs-index compares (VPU) and immediately contracted on the MXU.
+
+    Rationale: scattered reads don't survive every runtime (the 2026-08
+    libtpu regression made XLA gathers ~100x slower and broke
+    tpu.dynamic_gather compilation) — compares + matmuls always compile to
+    full-width vector ops. Gradients are dense for the same reason: d(w)
+    re-reduces through the same masks, d(table) = Wmat^T @ g is a matmul
+    (the col2im analogue of reference ops/src/cuda/ms_deform_im2col_cuda.cuh
+    without atomics). Costs P*4 compare-select passes over (Lq, H*W) per
+    level plus a (Lq, HW) x (HW, D) matmul — arithmetically ~30x more
+    "work" than the footprint gather, but it's all full-width VPU/MXU.
+    """
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    assert S == sum(h * w for h, w in spatial_shapes)
+    # bf16 one-hot + bf16 table on the MXU when the model runs bf16;
+    # f32 throughout for f32 inputs (CPU/parity paths)
+    mm_dtype = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+
+    out = jnp.zeros((B, M, Lq, D), dtype=jnp.float32)
+    offset = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        HW = H * W
+        table = value[:, offset : offset + HW]  # (B, HW, M, D)
+        offset += HW
+        table = table.transpose(0, 2, 1, 3).reshape(B * M, HW, D)
+        table = table.astype(mm_dtype)
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
+        x = loc[..., 0].astype(jnp.float32) * W - 0.5
+        y = loc[..., 1].astype(jnp.float32) * H - 0.5
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        tx = x - x0f
+        ty = y - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        att = attention_weights[:, :, :, lvl].astype(jnp.float32)
+
+        # per-corner flat rows + weights with zeros-padding validity
+        rows = []
+        ws = []
+        for iy in range(2):
+            yy = y0 + iy
+            wy = (1.0 - ty) if iy == 0 else ty
+            vy = (yy >= 0) & (yy < H)
+            for ix in range(2):
+                xx = x0 + ix
+                wx = (1.0 - tx) if ix == 0 else tx
+                vx = (xx >= 0) & (xx < W)
+                w = wy * wx * att * (vy & vx)
+                r = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+                rows.append(r)  # (B, Lq, M, P)
+                ws.append(w)
+        # (BM, Lq, P*4)
+        rows_a = jnp.stack(rows, -1).reshape(B, Lq, M, P * 4)
+        ws_a = jnp.stack(ws, -1).reshape(B, Lq, M, P * 4)
+        rows_a = rows_a.transpose(0, 2, 1, 3).reshape(B * M, Lq, P * 4)
+        ws_a = ws_a.transpose(0, 2, 1, 3).reshape(B * M, Lq, P * 4)
+
+        # chunk queries so the dense (BM, chunk, HW) one-hot tile stays
+        # bounded (~0.5 GB bf16 at the largest level); lax.map + checkpoint
+        # = sequential on device, rebuilt in the backward
+        chunk = min(Lq, max(256, (1 << 22) // HW))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HW), 2)
+
+        def chunk_fn(args):
+            rows_c, ws_c = args  # (BM, chunk, P4)
+            wmat = jnp.zeros((B * M, rows_c.shape[1], HW), jnp.float32)
+            for c in range(P * 4):
+                wmat = wmat + jnp.where(
+                    iota == rows_c[:, :, c : c + 1],
+                    ws_c[:, :, c : c + 1], 0.0,
+                )
+            return jax.lax.dot_general(
+                wmat.astype(mm_dtype), table,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (BM, chunk, D)
+
+        if Lq <= chunk:
+            o = chunk_fn((rows_a, ws_a))
+        else:
+            pad = (-Lq) % chunk
+            rp = jnp.pad(rows_a, ((0, 0), (0, pad), (0, 0)))
+            wp = jnp.pad(ws_a, ((0, 0), (0, pad), (0, 0)))
+            n_ch = (Lq + pad) // chunk
+            rp = rp.reshape(B * M, n_ch, chunk, -1).transpose(1, 0, 2, 3)
+            wp = wp.reshape(B * M, n_ch, chunk, -1).transpose(1, 0, 2, 3)
+            o = jax.lax.map(jax.checkpoint(chunk_fn), (rp, wp))
             o = o.transpose(1, 0, 2, 3).reshape(B * M, Lq + pad, D)[:, :Lq]
         out = out + o.reshape(B, M, Lq, D)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)
@@ -231,16 +356,28 @@ class MSDeformAttention(nn.Module):
             + offs / normalizer[None, None, None, :, None, :]
         )
 
-        impl = self.impl
+        impl = os.environ.get("MSA_MSDA_IMPL", self.impl)
         if impl == "auto":
-            # measured on v5e: the footprint-gather XLA program beats the
-            # scalar-driven Pallas kernel (29 vs 72 ms at extractor shapes);
-            # 'pallas' stays available as an opt-in
-            impl = "xla"
+            # 'onehot' (compare + MXU matmul, no gathers) on TPU: immune to
+            # the 2026-08 libtpu gather regression (~100x slowdown of the
+            # footprint-gather program, which had measured fastest before).
+            # 'xla' elsewhere (CPU gathers are fine and cheaper than the
+            # dense one-hot build).
+            impl = "onehot" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
             from .msda_pallas import make_ms_deform_attn
 
             out = make_ms_deform_attn(tuple(spatial_shapes))(value, loc, attn)
+        elif impl == "pallas_loads":
+            from .msda_pallas import make_ms_deform_attn
+
+            out = make_ms_deform_attn(
+                tuple(spatial_shapes), variant="loads"
+            )(value, loc, attn)
+        elif impl == "onehot":
+            out = ms_deform_attn_onehot(
+                value, tuple(spatial_shapes), loc, attn
+            )
         else:
             out = ms_deform_attn(value, tuple(spatial_shapes), loc, attn)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)

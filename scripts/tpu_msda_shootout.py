@@ -45,3 +45,11 @@ measure("xla-footprint extractor f32", lambda c: jnp.sum(ms_deform_attn(val_e32 
 a = ms_deform_attn_pallas_fwd(val_e, ((64, 64),), loc_e, att_e, variant="loads")
 b = ms_deform_attn(val_e, ((64, 64),), loc_e, att_e)
 print("loads-vs-xla max diff:", float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))), flush=True)
+
+# --- traffic-reduction variants: xs=2 (64-lane slices), packed bf16 pairs ---
+for kw, tag in ((dict(xs=2), "xs2"), (dict(packed=True), "packed"),
+                (dict(xs=2, packed=True), "xs2+packed")):
+    measure(f"xla-footprint extractor {tag}",
+            lambda c, kw=kw: jnp.sum(ms_deform_attn(val_e + c, ((64, 64),), loc_e, att_e, **kw).astype(jnp.float32)))
+    measure(f"xla-footprint injector {tag}",
+            lambda c, kw=kw: jnp.sum(ms_deform_attn(val_i + c, shapes_i, loc_i, att_i, **kw).astype(jnp.float32)))

@@ -135,3 +135,49 @@ def test_module_shapes_and_zero_init_behavior():
     out = mod.apply(params, q, refs, feat, shapes)
     assert out.shape == (2, 10, d_model)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_onehot_matches_footprint_and_oracle():
+    """The gather-free one-hot-matmul core (the TPU default since the
+    2026-08 libtpu gather regression) must match both the footprint-gather
+    program and the torch oracle, including out-of-range zero padding."""
+    from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn_onehot
+
+    rng = np.random.default_rng(7)
+    B, M, D, Lq, P = 2, 4, 32, 60, 4
+    shapes = ((12, 9), (6, 5))
+    S = sum(h * w for h, w in shapes)
+    val = rng.normal(size=(B, S, M, D)).astype(np.float32)
+    loc = rng.uniform(-0.15, 1.15, size=(B, Lq, M, 2, P, 2)).astype(np.float32)
+    att = rng.uniform(0.1, 1, size=(B, Lq, M, 2, P)).astype(np.float32)
+    att = (att / att.sum(-1, keepdims=True)).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        oh = np.asarray(ms_deform_attn_onehot(
+            jnp.asarray(val), shapes, jnp.asarray(loc), jnp.asarray(att)))
+        fp = np.asarray(ms_deform_attn(
+            jnp.asarray(val), shapes, jnp.asarray(loc), jnp.asarray(att)))
+    want = torch_oracle(val, shapes, loc, att)
+    np.testing.assert_allclose(oh, fp, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(oh, want, rtol=1e-4, atol=1e-5)
+
+
+def test_onehot_grads_match_footprint():
+    from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn_onehot
+
+    rng = np.random.default_rng(3)
+    B, M, D, Lq, P = 1, 2, 8, 40, 2
+    shapes = ((7, 6),)
+    S = sum(h * w for h, w in shapes)
+    val = jnp.asarray(rng.normal(size=(B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0.05, 0.95, size=(B, Lq, M, 1, P, 2)), jnp.float32)
+    att = jnp.asarray(rng.uniform(0.1, 1, size=(B, Lq, M, 1, P)), jnp.float32)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(lambda v, l, a: jnp.sum(
+            ms_deform_attn(v, shapes, l, a) ** 2), argnums=(0, 1, 2))(val, loc, att)
+        g2 = jax.grad(lambda v, l, a: jnp.sum(
+            ms_deform_attn_onehot(v, shapes, l, a) ** 2), argnums=(0, 1, 2))(val, loc, att)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
