@@ -244,6 +244,8 @@ def ms_deform_attn_onehot(
 
         def chunk_fn(args):
             rows_c, ws_c = args  # (BM, chunk, P4)
+            # f32 build measured faster than building in bf16 (the int32
+            # iota compares dominate and don't narrow; bf16 only adds casts)
             wmat = jnp.zeros((B * M, rows_c.shape[1], HW), jnp.float32)
             for c in range(P * 4):
                 wmat = wmat + jnp.where(
