@@ -70,25 +70,37 @@ class SAMAdapterBimodal(nn.Module):
         deterministic = not train
 
         # ---- spatial prior -> pyramid tokens: twin ConvNeXt + fusion neck
-        # for multimodal inputs; plain conv-stem SPM when only RGB is given
+        # for multimodal inputs; plain conv-stem SPM when only RGB is given.
+        # The SPM is its own remat unit under with_cp: its ConvNeXt/neck
+        # internals hold ~0.5 GB of residuals at 1024^2 otherwise, and the
+        # recompute (~26 ms) is cheap next to the interaction stages.
+        remat_spm = self.with_cp and train
         if len(self.modalities_ch) > 1:
-            c1, c2, c3, c4 = SpatialPriorModuleBimodal(
+            spm_cls = SpatialPriorModuleBimodal
+            if remat_spm:
+                spm_cls = nn.remat(spm_cls, prevent_cse=False,
+                                   static_argnums=(3, 4))
+            c1, c2, c3, c4 = spm_cls(
                 embed_dim=self.embed_dim,
                 conv_inplane=self.conv_inplane,
                 arch=self.arch,
                 conv_drop_path_rate=self.conv_drop_path_rate,
                 dtype=self.dtype,
                 name="spm",
-            )(x_rgb, x_aux, train=train, deterministic=deterministic)
+            )(x_rgb, x_aux, train, deterministic)
         else:
             from .adapter import SpatialPriorModule
 
-            c1, c2, c3, c4 = SpatialPriorModule(
+            spm_cls = SpatialPriorModule
+            if remat_spm:
+                spm_cls = nn.remat(spm_cls, prevent_cse=False,
+                                   static_argnums=(2, 3))
+            c1, c2, c3, c4 = spm_cls(
                 embed_dim=self.embed_dim,
                 inplanes=self.conv_inplane,
                 dtype=self.dtype,
                 name="spm",
-            )(x_rgb, train=train, deterministic=deterministic)
+            )(x_rgb, train, deterministic)
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (3, self.embed_dim)

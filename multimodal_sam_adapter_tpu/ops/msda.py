@@ -200,8 +200,20 @@ def ms_deform_attn_onehot(
         HW = H * W
         table = value[:, offset : offset + HW]  # (B, HW, M, D)
         offset += HW
-        table = table.transpose(0, 2, 1, 3).reshape(B * M, HW, D)
-        table = table.astype(mm_dtype)
+        table = table.transpose(0, 2, 1, 3).astype(mm_dtype)  # (B, M, HW, D)
+
+        # parity-quadrant split: the 2x2 bilinear footprint places EXACTLY
+        # one corner in each (y%2, x%2) quadrant, so the one-hot build needs
+        # only P compare passes per quadrant (4P*HW/4 = P*HW element-ops,
+        # 4x fewer than the flat per-corner build)
+        H2, W2 = H + (H % 2), W + (W % 2)
+        Hh, Wh = H2 // 2, W2 // 2
+        tab = table.reshape(B, M, H, W, D)
+        if (H2, W2) != (H, W):
+            tab = jnp.pad(tab, ((0, 0), (0, 0), (0, H2 - H), (0, W2 - W),
+                                (0, 0)))
+        tab = tab.reshape(B, M, Hh, 2, Wh, 2, D).transpose(3, 5, 0, 1, 2, 4, 6)
+        quad_tabs = tab.reshape(2, 2, B * M, Hh * Wh, D)
 
         loc = sampling_locations[:, :, :, lvl]  # (B, Lq, M, P, 2)
         x = loc[..., 0].astype(jnp.float32) * W - 0.5
@@ -212,62 +224,79 @@ def ms_deform_attn_onehot(
         ty = y - y0f
         x0 = x0f.astype(jnp.int32)
         y0 = y0f.astype(jnp.int32)
+        # clamped footprint bases; slot weights encode both the bilinear
+        # weight and the zeros-padding validity (0 when the true corner is
+        # outside), exactly as in the footprint-gather path
+        a = jnp.clip(x0, 0, max(W - 2, 0))
+        b = jnp.clip(y0, 0, max(H - 2, 0))
 
+        def slot_w(c, i0, t):
+            return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1, t, 0.0))
+
+        wy = [slot_w(b, y0, ty), slot_w(b + 1, y0, ty)]
+        wx = [slot_w(a, x0, tx), slot_w(a + 1, x0, tx)]
         att = attention_weights[:, :, :, lvl].astype(jnp.float32)
 
-        # per-corner flat rows + weights with zeros-padding validity
-        rows = []
-        ws = []
-        for iy in range(2):
-            yy = y0 + iy
-            wy = (1.0 - ty) if iy == 0 else ty
-            vy = (yy >= 0) & (yy < H)
-            for ix in range(2):
-                xx = x0 + ix
-                wx = (1.0 - tx) if ix == 0 else tx
-                vx = (xx >= 0) & (xx < W)
-                w = wy * wx * att * (vy & vx)
-                r = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
-                rows.append(r)  # (B, Lq, M, P)
-                ws.append(w)
-        # (BM, Lq, P*4)
-        rows_a = jnp.stack(rows, -1).reshape(B, Lq, M, P * 4)
-        ws_a = jnp.stack(ws, -1).reshape(B, Lq, M, P * 4)
-        rows_a = rows_a.transpose(0, 2, 1, 3).reshape(B * M, Lq, P * 4)
-        ws_a = ws_a.transpose(0, 2, 1, 3).reshape(B * M, Lq, P * 4)
+        # per-quadrant (u, v): the footprint corner with (b+i)%2==u,
+        # (a+j)%2==v lands at packed index ((b+i)//2)*Wh + (a+j)//2
+        idx_q = []
+        w_q = []
+        bp = b % 2
+        ap = a % 2
+        for u in range(2):
+            iu = (u - bp) % 2  # (B, Lq, M, P) in {0,1}
+            yy = b + iu
+            wyu = jnp.where(iu == 0, wy[0], wy[1])
+            for v in range(2):
+                jv = (v - ap) % 2
+                xx = a + jv
+                wxv = jnp.where(jv == 0, wx[0], wx[1])
+                idx_q.append((yy // 2) * Wh + xx // 2)
+                w_q.append(wyu * wxv * att)
+        # (4, BM, Lq, P)
+        idx_q = jnp.stack(idx_q).transpose(0, 1, 3, 2, 4).reshape(
+            4, B * M, Lq, P
+        )
+        w_q = jnp.stack(w_q).transpose(0, 1, 3, 2, 4).reshape(
+            4, B * M, Lq, P
+        )
 
-        # chunk queries so the dense (BM, chunk, HW) one-hot tile stays
-        # bounded (~0.5 GB bf16 at the largest level); lax.map + checkpoint
-        # = sequential on device, rebuilt in the backward
+        HWq = Hh * Wh
+        # chunk queries so the dense (4, BM, chunk, HWq) one-hot tiles stay
+        # bounded; lax.map + checkpoint = sequential on device, rebuilt in
+        # the backward
         chunk = min(Lq, max(256, (1 << 22) // HW))
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HW), 2)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HWq), 2)
+        qt = [quad_tabs[u, v] for u in range(2) for v in range(2)]
 
         def chunk_fn(args):
-            rows_c, ws_c = args  # (BM, chunk, P4)
-            # f32 build measured faster than building in bf16 (the int32
-            # iota compares dominate and don't narrow; bf16 only adds casts)
-            wmat = jnp.zeros((B * M, rows_c.shape[1], HW), jnp.float32)
-            for c in range(P * 4):
-                wmat = wmat + jnp.where(
-                    iota == rows_c[:, :, c : c + 1],
-                    ws_c[:, :, c : c + 1], 0.0,
-                )
-            return jax.lax.dot_general(
-                wmat.astype(mm_dtype), table,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (BM, chunk, D)
+            idx_c, w_c = args  # (4, BM, chunk, P)
+            o = None
+            for q in range(4):
+                wmat = jnp.zeros((B * M, idx_c.shape[2], HWq), jnp.float32)
+                for p in range(P):
+                    wmat = wmat + jnp.where(
+                        iota == idx_c[q, :, :, p : p + 1],
+                        w_c[q, :, :, p : p + 1], 0.0,
+                    )
+                oq = jax.lax.dot_general(
+                    wmat.astype(mm_dtype), qt[q],
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (BM, chunk, D)
+                o = oq if o is None else o + oq
+            return o
 
         if Lq <= chunk:
-            o = chunk_fn((rows_a, ws_a))
+            o = chunk_fn((idx_q, w_q))
         else:
             pad = (-Lq) % chunk
-            rp = jnp.pad(rows_a, ((0, 0), (0, pad), (0, 0)))
-            wp = jnp.pad(ws_a, ((0, 0), (0, pad), (0, 0)))
+            ip = jnp.pad(idx_q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            wp = jnp.pad(w_q, ((0, 0), (0, 0), (0, pad), (0, 0)))
             n_ch = (Lq + pad) // chunk
-            rp = rp.reshape(B * M, n_ch, chunk, -1).transpose(1, 0, 2, 3)
-            wp = wp.reshape(B * M, n_ch, chunk, -1).transpose(1, 0, 2, 3)
-            o = jax.lax.map(jax.checkpoint(chunk_fn), (rp, wp))
+            ip = ip.reshape(4, B * M, n_ch, chunk, P).transpose(2, 0, 1, 3, 4)
+            wp = wp.reshape(4, B * M, n_ch, chunk, P).transpose(2, 0, 1, 3, 4)
+            o = jax.lax.map(jax.checkpoint(chunk_fn), (ip, wp))
             o = o.transpose(1, 0, 2, 3).reshape(B * M, Lq + pad, D)[:, :Lq]
         out = out + o.reshape(B, M, Lq, D)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, M * D)

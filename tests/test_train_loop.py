@@ -153,3 +153,37 @@ def test_data_parallel_matches_single_device(tiny_state_and_step):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_factored_second_moment_optimizer():
+    """factored_second_moment=True must (a) optimize, (b) carry no full-size
+    f32 second-moment state for matrices (the 1024^2 single-chip enabler)."""
+    import numpy as np
+    import optax
+    from multimodal_sam_adapter_tpu.engine.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(256, 192)), jnp.float32),
+              "b": jnp.zeros((192,), jnp.float32)}
+    target = {"w": jnp.asarray(rng.normal(size=(256, 192)), jnp.float32),
+              "b": jnp.ones((192,), jnp.float32)}
+    tx = make_optimizer(params, base_lr=0.05, num_layers=1,
+                        steps_per_epoch=10, max_epochs=10, warmup_epochs=0,
+                        factored_second_moment=True)
+    state = tx.init(params)
+
+    # no state leaf may be a full (256, 192) f32 tensor (factored rows/cols
+    # only; momentum is bf16)
+    for leaf in jax.tree.leaves(state):
+        if hasattr(leaf, "shape") and tuple(leaf.shape) == (256, 192):
+            assert leaf.dtype != jnp.float32, "full f32 nu leaked"
+
+    def loss_fn(p):
+        return sum(jnp.sum((p[k] - target[k]) ** 2) for k in p)
+
+    l0 = float(loss_fn(params))
+    for _ in range(60):
+        g = jax.grad(loss_fn)(params)
+        upd, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+    assert float(loss_fn(params)) < 0.2 * l0
