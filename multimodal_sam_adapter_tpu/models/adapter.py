@@ -298,10 +298,10 @@ class InteractionBlock(nn.Module):
             # nested remat: the stage remat bounds cross-stage liveness, the
             # per-unit remat bounds the backward working set to one block /
             # one deformable-attention call
-            block_cls = nn.remat(ViTBlock, prevent_cse=False,
+            block_cls = nn.remat(ViTBlock,
                                  static_argnums=(2, 3))
-            inj_cls = nn.remat(Injector, prevent_cse=False)
-            ext_cls = nn.remat(Extractor, prevent_cse=False)
+            inj_cls = nn.remat(Injector)
+            ext_cls = nn.remat(Extractor)
         x = inj_cls(
             dim=self.dim, query_hw=self.hw, value_shapes=self.pyramid_shapes,
             num_heads=self.num_heads, n_points=self.n_points,

@@ -78,7 +78,7 @@ class SAMAdapterBimodal(nn.Module):
         if len(self.modalities_ch) > 1:
             spm_cls = SpatialPriorModuleBimodal
             if remat_spm:
-                spm_cls = nn.remat(spm_cls, prevent_cse=False,
+                spm_cls = nn.remat(spm_cls,
                                    static_argnums=(3, 4))
             c1, c2, c3, c4 = spm_cls(
                 embed_dim=self.embed_dim,
@@ -93,7 +93,7 @@ class SAMAdapterBimodal(nn.Module):
 
             spm_cls = SpatialPriorModule
             if remat_spm:
-                spm_cls = nn.remat(spm_cls, prevent_cse=False,
+                spm_cls = nn.remat(spm_cls,
                                    static_argnums=(2, 3))
             c1, c2, c3, c4 = spm_cls(
                 embed_dim=self.embed_dim,
@@ -134,7 +134,7 @@ class SAMAdapterBimodal(nn.Module):
 
         stage_cls = InteractionBlock
         if self.with_cp and train:
-            stage_cls = nn.remat(InteractionBlock, prevent_cse=False)
+            stage_cls = nn.remat(InteractionBlock)
 
         outs = []
         xt = tokens

