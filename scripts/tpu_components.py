@@ -54,4 +54,4 @@ model = _flagship_model(dtype=jnp.bfloat16)
 img = jax.random.normal(key, (1, 1024, 1024, 6), jnp.bfloat16)
 variables = jax.jit(model.init, static_argnames=("train",))(key, img, train=False)
 measure("full-forward-1024", lambda c, v: jnp.sum(
-    model.apply(v, img + c, train=False).astype(jnp.float32)), variables, 1, 4)
+    model.apply(v, img + c, train=False).astype(jnp.float32)), variables, 1, 2)
