@@ -66,14 +66,20 @@ def main():
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     per_img = times[2] - times[1]
-    ips = 1.0 / per_img
-
-    print(json.dumps({
+    rec = {
         "metric": "flagship_1024_infer_images_per_sec_per_chip",
-        "value": round(ips, 4),
         "unit": "img/s",
-        "vs_baseline": round(ips / A100_EST_IMG_PER_S, 4),
-    }))
+        "raw_times_s": {str(k): round(v, 4) for k, v in times.items()},
+    }
+    if per_img <= 1e-3:
+        # host-sync jitter exceeded the single-image increment: the
+        # subtraction is noise-dominated; flag instead of emitting inf
+        rec.update(value=0.0, vs_baseline=0.0, noise_dominated=True)
+    else:
+        ips = 1.0 / per_img
+        rec.update(value=round(ips, 4),
+                   vs_baseline=round(ips / A100_EST_IMG_PER_S, 4))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

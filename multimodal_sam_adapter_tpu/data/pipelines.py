@@ -211,7 +211,11 @@ def random_crop(sample: Dict, rng: np.random.Generator,
                 counts = counts[labels != ignore_index]
                 if len(counts) > 1 and counts.max() / counts.sum() < cat_max_ratio:
                     break
-                if try_ < 9:
+                # mmseg RandomCrop draws a fresh bbox after EVERY failure,
+                # including the 10th (the final crop is then unevaluated);
+                # RandomCropGen instead keeps the last evaluated bbox so its
+                # multilabel check below sees the crop actually used
+                if try_ < 9 or not retry_multilabel:
                     y1, y2, x1, x2 = get_bbox()
             else:
                 if retry_multilabel and len(labels) < 2:
@@ -333,9 +337,17 @@ def setr_resize(sample: Dict, rng: np.random.Generator, img_scale=None,
                  int(rng.integers(min(shorts), max(shorts) + 1)))
     else:  # 'value': random choice
         scale = scales[int(rng.integers(len(scales)))]
-    if setr_multi_scale and crop_size is not None and min(scale) < crop_size:
-        scale = (max(scale) * crop_size // min(scale), crop_size)
     img = sample["img"]
+    if setr_multi_scale and keep_ratio and crop_size is not None:
+        # reference transform.py:270-281: unconditionally rewrite the scale
+        # from the IMAGE's aspect ratio with short edge =
+        # max(min(scale), crop_size), so the rescaled short edge equals it
+        new_short = max(min(scale), crop_size)
+        h, w = img.shape[:2]
+        if h > w:
+            scale = (new_short * h / w, new_short)
+        else:
+            scale = (new_short, new_short * w / h)
     if keep_ratio:
         sample["img"] = _rescale(img, scale)
     else:

@@ -100,7 +100,10 @@ class ViTAttention(nn.Module):
         B, H, W, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        impl = os.environ.get("MSA_ATTN_IMPL", self.impl)
+        # MSA_ATTN_IMPL is a trace-time debug knob; only honored on 'auto'
+        impl = self.impl
+        if impl == "auto":
+            impl = os.environ.get("MSA_ATTN_IMPL", "auto")
         if impl == "auto":
             # flash only on lane-aligned global grids (W%64==0); a 48-wide
             # grid miscompiled/crashed the worker on v5e — dense elsewhere

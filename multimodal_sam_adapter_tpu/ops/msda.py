@@ -387,7 +387,12 @@ class MSDeformAttention(nn.Module):
             + offs / normalizer[None, None, None, :, None, :]
         )
 
-        impl = os.environ.get("MSA_MSDA_IMPL", self.impl)
+        # MSA_MSDA_IMPL is a debug/triage knob, resolved at TRACE time (it
+        # bakes into the jitted HLO); it only applies when the module was
+        # left on 'auto' so it can't silently override configured impls.
+        impl = self.impl
+        if impl == "auto":
+            impl = os.environ.get("MSA_MSDA_IMPL", "auto")
         if impl == "auto":
             # 'onehot' (compare + MXU matmul, no gathers) on TPU: immune to
             # the 2026-08 libtpu gather regression (~100x slowdown of the

@@ -181,3 +181,30 @@ def test_onehot_grads_match_footprint():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_onehot_bf16_close_to_f32_oracle():
+    """The TPU-default path runs the one-hot build + matmul in bf16 when the
+    model is bf16 (msda.py mm_dtype). Guard its precision at flagship-like
+    per-head shapes against the f32 torch oracle."""
+    from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn_onehot
+
+    rng = np.random.default_rng(11)
+    B, M, D, Lq, P = 1, 4, 32, 128, 4
+    shapes = ((16, 16), (8, 8))
+    S = sum(h * w for h, w in shapes)
+    val = rng.normal(size=(B, S, M, D)).astype(np.float32)
+    loc = rng.uniform(-0.05, 1.05, size=(B, Lq, M, 2, P, 2)).astype(np.float32)
+    att = rng.uniform(0.1, 1, size=(B, Lq, M, 2, P)).astype(np.float32)
+    att = (att / att.sum((-1, -2), keepdims=True)).astype(np.float32)
+
+    want = torch_oracle(val, shapes, loc, att)
+    got = np.asarray(ms_deform_attn_onehot(
+        jnp.asarray(val, jnp.bfloat16), shapes,
+        jnp.asarray(loc, jnp.bfloat16), jnp.asarray(att, jnp.bfloat16),
+    ).astype(jnp.float32))
+    # bf16 mantissa is 8 bits; sampling locations quantize too, so allow a
+    # looser absolute band scaled to the O(1) outputs
+    err = np.abs(got - want)
+    assert float(err.max()) < 0.12, float(err.max())
+    assert float(err.mean()) < 0.02, float(err.mean())

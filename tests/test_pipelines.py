@@ -160,11 +160,22 @@ def test_extra_transforms():
     # keep_ratio factor = min(long/max_side, short/min_side) = 2.5 or 1.5
     assert out["img"].shape[0] in (50, 30)
 
-    # setr crop-size floor
+    # setr_multi_scale: short edge == max(min(scale), crop_size) EXACTLY,
+    # derived from the IMAGE aspect ratio (reference transform.py:270-281) —
+    # even when the image aspect is more extreme than the scale tuple's
     out = setr_resize(_sample(20, 40, 6), rng, img_scale=(40, 20),
                       ratio_range=(1.0, 1.0), crop_size=30,
                       setr_multi_scale=True)
-    assert min(out["img"].shape[:2]) >= 15  # scale floored to (60, 30)
+    assert min(out["img"].shape[:2]) == 30
+    out = setr_resize(_sample(20, 80, 6), rng, img_scale=(60, 30),
+                      ratio_range=(1.0, 1.0), crop_size=30,
+                      setr_multi_scale=True)
+    assert min(out["img"].shape[:2]) == 30  # was 15 before the fix
+    # and when min(scale) > crop_size the short edge follows the scale
+    out = setr_resize(_sample(20, 40, 6), rng, img_scale=(80, 40),
+                      ratio_range=(1.0, 1.0), crop_size=30,
+                      setr_multi_scale=True)
+    assert min(out["img"].shape[:2]) == 40
 
 
 def test_random_crop_gen_multilabel_retry():
