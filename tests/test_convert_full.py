@@ -37,7 +37,8 @@ DEPTHS = (2, 2, 6, 2)
 HEAD_CH, NCLS = 16, 7
 
 
-def synth_state_dict():
+def synth_state_dict(ch=CH, depths=DEPTHS):
+    CH, DEPTHS = ch, depths  # noqa: N806 — allow arch overrides (e.g. pico)
     sd = {}
 
     def add(name, *shape):
