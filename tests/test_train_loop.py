@@ -187,3 +187,44 @@ def test_factored_second_moment_optimizer():
         upd, state = tx.update(g, state, params)
         params = optax.apply_updates(params, upd)
     assert float(loss_fn(params)) < 0.2 * l0
+
+
+def test_twin_convnext_freeze_mask():
+    """freeze_stages equivalent (reference twin_convnext.py:478-493): the
+    optimizer mask zeroes both branches' downsample + stage blocks of the
+    first N stages; out-norms and later stages stay trainable."""
+    from multimodal_sam_adapter_tpu.engine.optim import (
+        twin_convnext_freeze_mask,
+    )
+
+    params = {
+        "spm": {"twin_conv": {
+            "branch_x": {
+                "stem_conv": {"kernel": 1.0},
+                "stem_norm": {"scale": 1.0},
+                "down_conv1": {"kernel": 1.0},
+                "down_norm1": {"scale": 1.0},
+                "stage0_block0": {"w": 1.0},
+                "stage1_block0": {"w": 1.0},
+                "out_norm0": {"scale": 1.0},
+            },
+            "branch_y": {"stage0_block1": {"w": 1.0}},
+        }},
+        "blocks_0": {"stage0_block0": {"w": 1.0}},  # not in twin_conv branch
+    }
+    m = twin_convnext_freeze_mask(params, frozen_stages=1)
+    tx = m["spm"]["twin_conv"]["branch_x"]
+    assert tx["stem_conv"]["kernel"] == 0.0
+    assert tx["stem_norm"]["scale"] == 0.0
+    assert tx["stage0_block0"]["w"] == 0.0
+    assert m["spm"]["twin_conv"]["branch_y"]["stage0_block1"]["w"] == 0.0
+    assert tx["down_conv1"]["kernel"] == 1.0  # stage 1 not frozen
+    assert tx["stage1_block0"]["w"] == 1.0
+    assert tx["out_norm0"]["scale"] == 1.0  # out-norms stay trainable
+    assert m["blocks_0"]["stage0_block0"]["w"] == 1.0  # outside twin_conv
+
+    m2 = twin_convnext_freeze_mask(params, frozen_stages=2)
+    tx2 = m2["spm"]["twin_conv"]["branch_x"]
+    assert tx2["down_conv1"]["kernel"] == 0.0
+    assert tx2["down_norm1"]["scale"] == 0.0
+    assert tx2["stage1_block0"]["w"] == 0.0
