@@ -469,6 +469,54 @@ def pad_to_size(sample: Dict, size: Tuple[int, int], pad_val: float = 0.0,
 # composed pipelines
 # ---------------------------------------------------------------------------
 
+def _normalize_then_pad(sample: Dict, modalities_ch, n: dict,
+                        pad_size=None, pad_val: float = 0.0,
+                        seg_pad_val: int = 255) -> Dict:
+    """normalize_multimodal followed by pad_to_size, fused through the
+    native core (native/pipeline_core.cpp) when it is available — one pass
+    over the 1024^2 x 6ch float image instead of three (divide/flip-
+    subtract-scale, copy, pad). Falls back to the numpy path bit-for-bit
+    (tests/test_native.py guards parity)."""
+    means = [n["rgb"]["mean"], n["aux"]["mean"]]
+    stds = [n["rgb"]["std"], n["aux"]["std"]]
+    to_rgb = list(n.get("to_rgb", (True, True)))
+    norm_by_max = bool(n["norm_by_max"])
+    rgb_only = bool(n.get("rgb_only_255", False))
+    img = sample["img"]
+    fusable = (
+        len(modalities_ch) == 2
+        and all(c == 3 for c in modalities_ch)
+        and img.ndim == 3 and img.shape[2] == sum(modalities_ch)
+    )
+    if fusable:
+        from .native import normalize_pad_native, pad_label_native
+
+        out_hw = (img.shape[0], img.shape[1]) if pad_size is None else (
+            max(pad_size[0], img.shape[0]), max(pad_size[1], img.shape[1]))
+        div255 = [norm_by_max and (i == 0 or not rgb_only)
+                  for i in range(len(modalities_ch))]
+        res = normalize_pad_native(img, modalities_ch, means, stds, to_rgb,
+                                   div255, out_hw, pad_val)
+        if res is not None:
+            sample["img"] = res
+            gt = sample.get("gt")
+            if gt is not None and gt.shape[:2] != out_hw:
+                padded = pad_label_native(gt, out_hw, seg_pad_val)
+                if padded is None:
+                    padded = np.pad(
+                        gt, ((0, out_hw[0] - gt.shape[0]),
+                             (0, out_hw[1] - gt.shape[1])),
+                        constant_values=seg_pad_val)
+                sample["gt"] = padded
+            sample.setdefault("meta", {})["pad_shape"] = res.shape
+            return sample
+    sample = normalize_multimodal(sample, modalities_ch, means, stds, to_rgb,
+                                  norm_by_max, rgb_only)
+    if pad_size is not None:
+        sample = pad_to_size(sample, pad_size, pad_val, seg_pad_val)
+    return sample
+
+
 class TrainPipeline:
     """The reference train pipeline composition for all three datasets."""
 
@@ -492,19 +540,11 @@ class TrainPipeline:
         sample = random_flip(sample, rng, c["flip"]["prob"])
         if c.get("photometric"):
             sample = photometric_distortion(sample, rng)
-        n = c["normalize"]
-        sample = normalize_multimodal(
-            sample, self.modalities_ch,
-            means=[n["rgb"]["mean"], n["aux"]["mean"]],
-            stds=[n["rgb"]["std"], n["aux"]["std"]],
-            to_rgb=list(n.get("to_rgb", (True, True))),
-            norm_by_max=n["norm_by_max"],
-            norm_by_max_rgb_only=n.get("rgb_only_255", False),
+        return _normalize_then_pad(
+            sample, self.modalities_ch, c["normalize"],
+            pad_size=c["pad"]["size"], pad_val=c["pad"]["pad_val"],
+            seg_pad_val=c["pad"]["seg_pad_val"],
         )
-        sample = pad_to_size(
-            sample, c["pad"]["size"], c["pad"]["pad_val"], c["pad"]["seg_pad_val"]
-        )
-        return sample
 
 
 class TestPipeline:
@@ -525,16 +565,10 @@ class TestPipeline:
                 seg_scale=c["resize"].get("seg_scale"),
             )
         if c.get("pad"):
+            # pad-BEFORE-normalize (the FMB quirk, reference
+            # configs/FMB/...RGBTHERM.py:83-93) cannot fuse with normalize
             sample = pad_to_size(sample, c["pad"]["size"])
-        n = c["normalize"]
-        sample = normalize_multimodal(
-            sample, self.modalities_ch,
-            means=[n["rgb"]["mean"], n["aux"]["mean"]],
-            stds=[n["rgb"]["std"], n["aux"]["std"]],
-            to_rgb=list(n.get("to_rgb", (True, True))),
-            norm_by_max=n["norm_by_max"],
-            norm_by_max_rgb_only=n.get("rgb_only_255", False),
+        return _normalize_then_pad(
+            sample, self.modalities_ch, c["normalize"],
+            pad_size=self.pad_size,
         )
-        if self.pad_size is not None:
-            sample = pad_to_size(sample, self.pad_size)
-        return sample

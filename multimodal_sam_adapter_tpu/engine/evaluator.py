@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +24,7 @@ import numpy as np
 from .inference import InferenceEngine
 from .metrics import (
     Hist,
+    _sum_hists,
     intersect_and_union,
     pre_eval_to_metrics,
     pre_eval_to_metrics_dict,
@@ -54,30 +55,43 @@ class Evaluator:
 
     def run(self, pipeline=None, max_samples: Optional[int] = None,
             format_only: bool = False, show: bool = False,
-            opacity: float = 0.5, progress_every: int = 50) -> Dict:
+            opacity: float = 0.5, progress_every: int = 50,
+            batch_size: int = 1, shard: Optional[Tuple[int, int]] = None
+            ) -> Dict:
+        """Evaluate the (sharded slice of the) dataset.
+
+        shard: (rank, world) — this process evaluates indices rank::world
+        (the reference's DistributedSampler split, apis/test_bs.py:363-722);
+        defaults to (jax.process_index(), jax.process_count()). Per-shard
+        histograms are reduced across processes at the end (the TPU
+        equivalent of collect_results_cpu/gpu).
+
+        batch_size: same-shape images are stacked through ONE jitted
+        forward (reference multi_gpu_test batches via samples_per_gpu);
+        slide mode stays batch-1 (each image already fans out into a
+        window batch).
+        """
+        import jax
+
+        if shard is None:
+            shard = (jax.process_index(), jax.process_count())
+        rank, world = shard
         flat: List[Hist] = []
         nested: Dict[str, Dict[str, List[Hist]]] = {}
         dumped = []
         n = len(self.dataset) if max_samples is None else min(
             max_samples, len(self.dataset)
         )
-        for i in range(n):
-            sample = self.dataset[i]
-            gt = sample.get("gt")
-            if pipeline is not None:
-                sample = pipeline(sample)
-            img, ori_hw = _pad_for_model(sample["img"])
-            # the engine cuts the pad band off the LOGITS before any
-            # mode resize (reference geometry runs exact sizes)
-            pred = self.engine.predict(
-                jnp.asarray(img[None]), ori_shape=None, valid_hw=ori_hw
-            )[0]
+        if self.engine.test_cfg.get("mode") == "slide":
+            batch_size = 1
+
+        def handle(idx, sample, gt, pred):
             if show and self.out_dir:
                 # palette-blended dump under prediction/<condition>/<case>/
                 # (reference test_bs.py:290-316)
                 from .visualize import dump_prediction
 
-                raw = self.dataset[i]["img"][..., :3].astype(np.uint8)
+                raw = self.dataset[idx]["img"][..., :3].astype(np.uint8)
                 dump_prediction(
                     self.out_dir, sample["meta"].get("condition"),
                     sample["meta"].get("case"),
@@ -86,12 +100,12 @@ class Evaluator:
                     [[i, i, i] for i in range(256)], opacity,
                 )
             if format_only and hasattr(self.dataset, "format_results"):
-                dumped += self.dataset.format_results(
+                dumped.extend(self.dataset.format_results(
                     [pred], [sample["meta"]["stem"]], self.out_dir or "results"
-                )
-                continue
+                ))
+                return
             if gt is None:
-                continue
+                return
             if pred.shape != gt.shape:
                 # reference resizes *logits* to eval dim; pred already matches
                 # the configured dim; resize gt-space mismatch by nearest
@@ -109,11 +123,48 @@ class Evaluator:
                 cond = sample["meta"].get("condition") or "all"
                 case = sample["meta"].get("case") or "ordinary"
                 nested.setdefault(cond, {}).setdefault(case, []).append(hist)
-            if progress_every and (i + 1) % progress_every == 0:
-                print(f"eval {i + 1}/{n}", flush=True)
+
+        buf: List = []
+
+        def flush():
+            if not buf:
+                return
+            imgs = np.stack([b[3] for b in buf])
+            preds = self.engine.predict(
+                jnp.asarray(imgs), ori_shape=None, valid_hw=buf[0][4]
+            )
+            for (idx, sample, gt, _, _), pred in zip(buf, preds):
+                handle(idx, sample, gt, pred)
+            buf.clear()
+
+        done = 0
+        for i in range(rank, n, world):
+            sample = self.dataset[i]
+            gt = sample.get("gt")
+            if pipeline is not None:
+                sample = pipeline(sample)
+            img, ori_hw = _pad_for_model(sample["img"])
+            # the engine cuts the pad band off the LOGITS before any
+            # mode resize (reference geometry runs exact sizes)
+            if buf and (buf[0][3].shape != img.shape or buf[0][4] != ori_hw):
+                flush()
+            buf.append((i, sample, gt, img, ori_hw))
+            if len(buf) >= batch_size:
+                flush()
+            done += 1
+            if progress_every and done % progress_every == 0:
+                print(f"eval {done}/{(n - rank + world - 1) // world}",
+                      flush=True)
+        flush()
         if format_only:
             return {"files": dumped}
-        results: Dict = {}
+        if world > 1 and jax.process_count() > 1:
+            flat, nested = self._gather_shards(flat, nested)
+        # raw histogram sums on the dense grid — lets callers merge shards
+        # themselves (and the sharding test verify shard0+shard1 == full)
+        payload = self._densify(flat, nested)
+        results_payload = {"flat": payload[0], "nested": payload[1]}
+        results: Dict = {"payload": results_payload}
         if flat:
             results["flat"] = pre_eval_to_metrics(flat, ("mIoU",))
             results["summary"] = {
@@ -125,14 +176,68 @@ class Evaluator:
             results["nested"] = pre_eval_to_metrics_dict(
                 nested, ("microIoU",), num_classes=self.num_classes
             )
-            g = results["nested"]["global"]
-            results["summary"]["mMicroIoU"] = float(
-                np.nanmean(g["IoU"])
-            ) * 100
+            from .metrics import render_nested_report
+
+            text, eval_results, nested_summary = render_nested_report(
+                results["nested"], self.dataset.CLASSES
+            )
+            results["nested_report"] = text
+            results["eval_results"] = eval_results
+            results["summary"].update(nested_summary)
         return results
+
+    # -- multi-host reduction ------------------------------------------------
+
+    def _key_grid(self):
+        conds = list(getattr(self.dataset, "CONDITIONS", ()) or ()) + ["all"]
+        cases = list(getattr(self.dataset, "CASES", ()) or ()) + ["ordinary"]
+        return conds, cases
+
+    def _densify(self, flat: List[Hist],
+                 nested: Dict[str, Dict[str, List[Hist]]]):
+        """Histogram sums on the dataset's static CONDITIONS x CASES grid,
+        so every process contributes identically-shaped arrays to the
+        cross-host allgather (the reference instead pickles result lists
+        through collect_results_cpu/gpu, apis/test_bs.py:13)."""
+        K = self.num_classes
+        flat_sum = (np.stack(_sum_hists(flat)) if flat
+                    else np.zeros((4, K), np.float64))
+        conds, cases = self._key_grid()
+        dense = np.zeros((len(conds), len(cases), 4, K), np.float64)
+        for ci, c in enumerate(conds):
+            for si, s in enumerate(cases):
+                hists = nested.get(c, {}).get(s)
+                if hists:
+                    dense[ci, si] = np.stack(_sum_hists(hists))
+        return flat_sum, dense
+
+    def _undensify(self, flat_sum: np.ndarray, dense: np.ndarray):
+        flat = [tuple(flat_sum)] if flat_sum.sum() > 0 else []
+        nested: Dict[str, Dict[str, List[Hist]]] = {}
+        conds, cases = self._key_grid()
+        for ci, c in enumerate(conds):
+            for si, s in enumerate(cases):
+                if dense[ci, si].sum() > 0:
+                    nested.setdefault(c, {}).setdefault(s, []).append(
+                        tuple(dense[ci, si])
+                    )
+        return flat, nested
+
+    def _gather_shards(self, flat, nested):
+        from ..parallel.mesh import gather_results
+
+        flat_sum, dense = self._densify(flat, nested)
+        g = gather_results({"flat": flat_sum, "nested": dense})
+        # process_allgather stacks a leading process axis
+        return self._undensify(np.asarray(g["flat"]).sum(0),
+                               np.asarray(g["nested"]).sum(0))
 
     def print_tables(self, results: Dict):
         if "flat" in results:
             print(format_metrics_table(results["flat"], self.dataset.CLASSES))
+        if "nested_report" in results:
+            # per-(condition x case) tables + per-condition micro tables
+            # (reference DELIVER.py:345-487 PrettyTable output)
+            print(results["nested_report"])
         if "summary" in results:
             print({k: round(v, 2) for k, v in results["summary"].items()})

@@ -200,3 +200,127 @@ def format_metrics_table(ret_metrics: Dict[str, np.ndarray],
     if "aAcc" in ret_metrics:
         lines.append(f"aAcc: {float(ret_metrics['aAcc']) * 100:.2f}")
     return "\n".join(lines)
+
+
+def _ascii_table(columns: "OrderedDict[str, Sequence]") -> str:
+    """Plain-text column table (the reference prints PrettyTables,
+    reference DELIVER.py:345-359; prettytable isn't available here)."""
+    keys = list(columns)
+    rows = max((len(v) if np.ndim(v) > 0 else 1) for v in columns.values())
+    cells = {}
+    for k, v in columns.items():
+        vals = v if np.ndim(v) > 0 else [v]
+        cells[k] = [
+            (f"{x:.2f}" if isinstance(x, (int, float, np.floating)) else str(x))
+            for x in vals
+        ] + [""] * (rows - len(vals))
+    widths = {k: max(len(k), *(len(c) for c in cells[k])) for k in keys}
+    sep = "+" + "+".join("-" * (widths[k] + 2) for k in keys) + "+"
+    out = [sep, "|" + "|".join(f" {k.ljust(widths[k])} " for k in keys) + "|",
+           sep]
+    for r in range(rows):
+        out.append("|" + "|".join(
+            f" {cells[k][r].ljust(widths[k])} " for k in keys) + "|")
+    out.append(sep)
+    return "\n".join(out)
+
+
+def render_nested_report(ret: Dict, class_names: Sequence[str]):
+    """Render the nested condition x case report and build the eval-results
+    dict, mirroring reference DELIVER.py:261-617 (microIoU path):
+
+    - one per-class table + summary line per (condition, case) cell
+    - one table per condition's micro_IoU array (sum inter / sum union)
+    - a global table plus the two scalars the reference dumps:
+      mMicroIoU (mean over the per-condition micro means) and
+      mMicroIoU_per_condition (mean over the global per-case micro arrays —
+      the reference's name for it, DELIVER.py:434-441)
+
+    Returns (text, eval_results, summary_scalars). eval_results values are
+    fractions in [0, 1] exactly as the reference stores them (value/100).
+    """
+    lines: List[str] = []
+    eval_results: Dict = {}
+    mMiou_l: List[float] = []
+    names = list(class_names)
+
+    def cell_tables(tag: str, cell: Dict[str, np.ndarray]):
+        summary = OrderedDict(
+            (k, float(np.round(np.nanmean(v) * 100, 2)))
+            for k, v in cell.items()
+        )
+        arrays = OrderedDict(
+            (k, np.round(np.asarray(v, np.float64) * 100, 2))
+            for k, v in cell.items() if np.ndim(v) > 0
+        )
+        tbl = OrderedDict([("Class", names)])
+        tbl.update(arrays)
+        lines.append(f"\n per class {tag} results:")
+        lines.append(_ascii_table(tbl))
+        lines.append(f"Summary  {tag}:")
+        lines.append(_ascii_table(OrderedDict(
+            (k if k == "aAcc" else "m" + k, [v]) for k, v in summary.items()
+        )))
+        er = {}
+        for k, v in summary.items():
+            er["aAcc" if k == "aAcc" else "m" + k] = v / 100.0
+        for k, arr in arrays.items():
+            er.update({f"{k}.{n}": float(arr[i]) / 100.0
+                       for i, n in enumerate(names)})
+        return er
+
+    for cond, cases in ret.items():
+        if cond == "global":
+            continue
+        eval_results[cond] = {}
+        for case, cell in cases.items():
+            if isinstance(cell, dict):
+                eval_results[cond][case] = cell_tables(f"{cond}_{case}", cell)
+            else:  # per-condition micro_IoU array
+                arr = np.round(np.asarray(cell, np.float64) * 100, 2)
+                m = float(np.round(np.nanmean(arr), 2))
+                mMiou_l.append(m)
+                lines.append(f"\n per class {cond}_micro_IoU results:")
+                lines.append(_ascii_table(OrderedDict(
+                    [("Class", names), ("micro_IoU", arr)])))
+                lines.append(f"Summary  {cond}_micro_IoU:")
+                lines.append(_ascii_table(OrderedDict(mmicroIoU=[m])))
+                er = {"mmicroIoU": m / 100.0}
+                er.update({f"micro_IoU.{n}": float(arr[i]) / 100.0
+                           for i, n in enumerate(names)})
+                eval_results[cond]["micro_IoU"] = er
+
+    g = ret.get("global", {})
+    g_metrics = {k: v for k, v in g.items()
+                 if not isinstance(v, dict) and k in ("IoU", "Acc", "aAcc")}
+    case_arrays = {k: v for k, v in g.items()
+                   if not isinstance(v, dict) and k not in g_metrics}
+    eval_results["global"] = cell_tables("global", g_metrics)
+    summary = {
+        ("aAcc" if k == "aAcc" else "m" + k):
+            float(np.round(np.nanmean(v) * 100, 2))
+        for k, v in g_metrics.items()
+    }
+    if mMiou_l:
+        summary["mMicroIoU"] = float(np.round(np.nanmean(mMiou_l), 2))
+    if case_arrays:
+        summary["mMicroIoU_per_condition"] = float(np.round(np.nanmean(
+            [np.nanmean(np.asarray(v, np.float64)) for v in case_arrays.values()]
+        ) * 100, 2))
+        for k, v in case_arrays.items():
+            arr = np.round(np.asarray(v, np.float64) * 100, 2)
+            lines.append(f"\n per class global_{k} (micro) results:")
+            lines.append(_ascii_table(OrderedDict(
+                [("Class", names), ("micro_IoU", arr)])))
+            eval_results["global"][k] = {
+                f"micro_IoU.{n}": float(arr[i]) / 100.0
+                for i, n in enumerate(names)
+            }
+    if "mMicroIoU" in summary or "mMicroIoU_per_condition" in summary:
+        lines.append("Summary  global:")
+        lines.append(_ascii_table(OrderedDict(
+            (k, [v]) for k, v in summary.items()
+        )))
+    eval_results["global"].update({k: v / 100.0 for k, v in summary.items()
+                                   if k.startswith("mMicroIoU")})
+    return "\n".join(lines), eval_results, summary

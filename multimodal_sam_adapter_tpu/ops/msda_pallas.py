@@ -198,6 +198,130 @@ def _msda_level_loads(value_l, rbase, wmat, T: int = 128,
 
 
 # ---------------------------------------------------------------------------
+# variant 3: fused parity-quadrant one-hot (compare + MXU, zero gathers)
+# ---------------------------------------------------------------------------
+
+def _prepare_level_quadrant(loc_l, att_l, H: int, W: int):
+    """Quadrant-packed corner indices/weights (the ops.msda one-hot scheme):
+    the 2x2 bilinear footprint places exactly one corner in each (y%2, x%2)
+    parity quadrant. Returns idx, w: (4, BM, Lq, P) int32/f32, where idx is
+    the packed index into that quadrant's (ceil(H/2)*ceil(W/2)) table."""
+    B, Lq, M, P, _ = loc_l.shape
+    Wh = (W + 1) // 2
+    x = loc_l[..., 0].astype(jnp.float32) * W - 0.5
+    y = loc_l[..., 1].astype(jnp.float32) * H - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    a = jnp.clip(x0, 0, max(W - 2, 0))
+    b = jnp.clip(y0, 0, max(H - 2, 0))
+
+    def slot_w(c, i0, t):
+        return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1, t, 0.0))
+
+    wy = [slot_w(b, y0, ty), slot_w(b + 1, y0, ty)]
+    wx = [slot_w(a, x0, tx), slot_w(a + 1, x0, tx)]
+    att = att_l.astype(jnp.float32)
+    bp = b % 2
+    ap = a % 2
+    idx_q, w_q = [], []
+    for u in range(2):
+        iu = (u - bp) % 2
+        yy = b + iu
+        wyu = jnp.where(iu == 0, wy[0], wy[1])
+        for v in range(2):
+            jv = (v - ap) % 2
+            xx = a + jv
+            wxv = jnp.where(jv == 0, wx[0], wx[1])
+            idx_q.append((yy // 2) * Wh + xx // 2)
+            w_q.append(wyu * wxv * att)
+    idx = jnp.stack(idx_q).transpose(0, 1, 3, 2, 4).reshape(4, B * M, Lq, P)
+    w = jnp.stack(w_q).transpose(0, 1, 3, 2, 4).reshape(4, B * M, Lq, P)
+    return idx, w
+
+
+def _quadrant_tables(value_l, H: int, W: int):
+    """(BM, HW, D) -> (4, BM, HWq, D) parity-quadrant tables (zero-padded
+    to even H/W)."""
+    BM, HW, D = value_l.shape
+    H2, W2 = H + (H % 2), W + (W % 2)
+    tab = value_l.reshape(BM, H, W, D)
+    if (H2, W2) != (H, W):
+        tab = jnp.pad(tab, ((0, 0), (0, H2 - H), (0, W2 - W), (0, 0)))
+    tab = tab.reshape(BM, H2 // 2, 2, W2 // 2, 2, D)
+    tab = tab.transpose(2, 4, 0, 1, 3, 5)
+    return tab.reshape(4, BM, (H2 // 2) * (W2 // 2), D)
+
+
+def _onehot_kernel(P: int, TQ: int, HWq: int, D: int, mm_dtype,
+                   idx_ref, w_ref, tab_ref, out_ref, acc_ref):
+    # one quadrant per grid step; the weighted one-hot tile is built in
+    # VMEM (never touches HBM — the XLA formulation streams ~Q*HW*4 bytes
+    # of Wmat per head through HBM) and contracted immediately on the MXU
+    q = pl.program_id(2)
+
+    @pl.when(q == 0)
+    def _():
+        acc_ref[:] = jnp.zeros((TQ, D), jnp.float32)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, HWq), 1)
+    wmat = jnp.zeros((TQ, HWq), mm_dtype)
+    for p in range(P):
+        # mask as arithmetic, not select: Mosaic rejects the i1 relayout
+        # that jnp.where(concrete_mask, lane-replicated wv, 0) demands
+        idx = idx_ref[0, 0, :, p : p + 1]            # (TQ, 1), lane-replicated
+        wv = w_ref[0, 0, :, p : p + 1].astype(mm_dtype)
+        eq = (iota == idx).astype(mm_dtype)          # concrete (TQ, HWq)
+        wmat = wmat + eq * wv
+    acc_ref[:] += jax.lax.dot_general(
+        wmat, tab_ref[0, 0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q == 3)
+    def _():
+        out_ref[0] = acc_ref[:]
+
+
+def _msda_level_onehot(value_l, H, W, loc_l, att_l, interpret: bool = False):
+    """value_l: (BM, HW, D); loc_l: (B, Lq, M, P, 2). Returns (BM, Lq, D) f32."""
+    BM, HW, D = value_l.shape
+    B, Lq, M, P, _ = loc_l.shape
+    mm_dtype = jnp.bfloat16 if value_l.dtype == jnp.bfloat16 else jnp.float32
+    idx, w = _prepare_level_quadrant(loc_l, att_l, H, W)
+    tabs = _quadrant_tables(value_l.astype(mm_dtype), H, W)
+    HWq = tabs.shape[2]
+    TQ = min(512 if HWq <= 1024 else 256, max(128, Lq))
+    pad = (-Lq) % TQ
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    Lqp = Lq + pad
+    out = pl.pallas_call(
+        functools.partial(_onehot_kernel, P, TQ, HWq, D, mm_dtype),
+        grid=(BM, Lqp // TQ, 4),
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ, P), lambda bm, t, q: (q, bm, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TQ, P), lambda bm, t, q: (q, bm, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HWq, D), lambda bm, t, q: (q, bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, D), lambda bm, t, q: (bm, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TQ, D), jnp.float32)],
+        interpret=interpret,
+    )(idx, w, tabs)
+    return out[:, :Lq]
+
+
+# ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
 
@@ -220,7 +344,10 @@ def ms_deform_attn_pallas_fwd(
         val = val.transpose(0, 2, 1, 3).reshape(B * M, H * W, D)
         loc_l = sampling_locations[:, :, :, lvl]
         att_l = attention_weights[:, :, :, lvl]
-        if variant == "gather":
+        if variant == "onehot":
+            o = _msda_level_onehot(val, H, W, loc_l, att_l,
+                                   interpret=interpret)
+        elif variant == "gather":
             ridx, w = _prepare_level(loc_l, att_l, H, W, paired=False)
             o = _msda_level_gather(val, ridx, w, interpret=interpret)
         else:
@@ -244,6 +371,12 @@ def make_ms_deform_attn(spatial_shapes: Sequence[Tuple[int, int]],
 @functools.lru_cache(maxsize=None)
 def _make_ms_deform_attn_cached(shapes, variant: str, interpret: bool):
     from .msda import ms_deform_attn as msda_xla
+    from .msda import ms_deform_attn_onehot as msda_onehot
+
+    # backward = autodiff of the matching XLA formulation (the col2im
+    # analogue). The onehot variant's backward must avoid gathers too
+    # (the 2026-08 libtpu regression makes scatter/gather ~100x slower).
+    bwd_impl = msda_onehot if variant == "onehot" else msda_xla
 
     @jax.custom_vjp
     def fn(value, loc, att):
@@ -255,7 +388,7 @@ def _make_ms_deform_attn_cached(shapes, variant: str, interpret: bool):
 
     def bwd(res, g):
         value, loc, att = res
-        _, vjp = jax.vjp(lambda v, l, a: msda_xla(v, shapes, l, a),
+        _, vjp = jax.vjp(lambda v, l, a: bwd_impl(v, shapes, l, a),
                          value, loc, att)
         return vjp(g.astype(value.dtype))
 

@@ -78,10 +78,15 @@ def main():
     ev.print_tables(results)
     stamp = time.strftime("%Y%m%d_%H%M%S")
     out_json = osp.join(args.show_dir or ".", f"eval_single_scale_{stamp}.json")
+    payload = {k: v for k, v in results.get("summary", {}).items()}
+    if "eval_results" in results:
+        # nested condition x case dump, same shape as the reference's
+        # evaluate() eval_results (DELIVER.py:261-617): per-cell summary +
+        # per-class fractions, per-condition micro_IoU, global aggregates
+        # incl. mMicroIoU and mMicroIoU_per_condition
+        payload["eval_results"] = results["eval_results"]
     with open(out_json, "w") as f:
-        json.dump(
-            {k: v for k, v in results.get("summary", {}).items()}, f, indent=2
-        )
+        json.dump(payload, f, indent=2)
     print(f"wrote {out_json}")
 
 

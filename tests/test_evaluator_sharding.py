@@ -1,0 +1,83 @@
+"""Sharded + batched evaluation (the reference's multi_gpu_test split,
+apis/test_bs.py:363-722): shard0 + shard1 histogram sums must equal the
+full run, and batched inference must equal batch-1."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodal_sam_adapter_tpu.engine.evaluator import Evaluator
+from multimodal_sam_adapter_tpu.engine.inference import InferenceEngine
+from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
+from tests.test_model_forward import TINY_BACKBONE
+
+K = 5
+
+
+class FakeDataset:
+    CLASSES = tuple(f"c{i}" for i in range(K))
+    PALETTE = [[i * 10, i * 10, i * 10] for i in range(K)]
+    CONDITIONS = ("cloud", "sun")
+    CASES = ("motionblur",)
+
+    def __init__(self, n=6):
+        rng = np.random.default_rng(0)
+        self.samples = []
+        conds = ["cloud", "sun", "cloud", "sun", "cloud", "sun"]
+        cases = [None, "motionblur", None, None, "motionblur", None]
+        for i in range(n):
+            self.samples.append({
+                "img": rng.uniform(0, 255, (64, 64, 6)).astype(np.float32),
+                "gt": rng.integers(0, K, (64, 64)).astype(np.uint8),
+                "meta": {"stem": f"s{i}", "condition": conds[i],
+                         "case": cases[i]},
+            })
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        s = self.samples[i]
+        return {"img": s["img"].copy(), "gt": s["gt"].copy(),
+                "meta": dict(s["meta"])}
+
+
+@pytest.fixture(scope="module")
+def evaluator():
+    model = EncoderDecoder(num_classes=K, head_channels=16,
+                           backbone_cfg=TINY_BACKBONE)
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 6)),
+                           train=False)
+    engine = InferenceEngine(model, variables, dict(mode="whole"))
+    return Evaluator(engine, FakeDataset(), K, case_aware=True)
+
+
+def test_shards_sum_to_full(evaluator):
+    full = evaluator.run(shard=(0, 1))
+    s0 = evaluator.run(shard=(0, 2))
+    s1 = evaluator.run(shard=(1, 2))
+    np.testing.assert_allclose(
+        s0["payload"]["flat"] + s1["payload"]["flat"],
+        full["payload"]["flat"],
+    )
+    np.testing.assert_allclose(
+        s0["payload"]["nested"] + s1["payload"]["nested"],
+        full["payload"]["nested"],
+    )
+    # and merging through the dense grid reproduces the full metrics
+    merged_flat, merged_nested = evaluator._undensify(
+        s0["payload"]["flat"] + s1["payload"]["flat"],
+        s0["payload"]["nested"] + s1["payload"]["nested"],
+    )
+    from multimodal_sam_adapter_tpu.engine.metrics import pre_eval_to_metrics
+
+    m = pre_eval_to_metrics(merged_flat, ("mIoU",))
+    np.testing.assert_allclose(m["IoU"], full["flat"]["IoU"], equal_nan=True)
+
+
+def test_batched_eval_matches_batch1(evaluator):
+    a = evaluator.run(batch_size=1, shard=(0, 1))
+    b = evaluator.run(batch_size=3, shard=(0, 1))
+    np.testing.assert_allclose(a["payload"]["flat"], b["payload"]["flat"])
+    np.testing.assert_allclose(a["payload"]["nested"], b["payload"]["nested"])
+    assert a["summary"]["mIoU"] == pytest.approx(b["summary"]["mIoU"])

@@ -53,3 +53,48 @@ def test_nested_dict_aggregation():
     np.testing.assert_allclose(out["global"]["ordinary"], [1.0, 1.0])
     # global IoU over everything: inter [3,2], union [4,3]
     np.testing.assert_allclose(out["global"]["IoU"], [3 / 4, 2 / 3])
+
+
+def test_render_nested_report_shape_and_scalars():
+    """Nested report matches the reference's eval_results shape
+    (DELIVER.py:261-617): per-cell summary + per-class fractions,
+    per-condition micro_IoU, global mMicroIoU / mMicroIoU_per_condition."""
+    from multimodal_sam_adapter_tpu.engine.metrics import (
+        intersect_and_union,
+        pre_eval_to_metrics_dict,
+        render_nested_report,
+    )
+
+    rng = np.random.default_rng(0)
+    K = 4
+    names = [f"c{i}" for i in range(K)]
+    nested = {}
+    for cond in ("cloud", "sun"):
+        for case in ("ordinary", "motionblur"):
+            pred = rng.integers(0, K, (16, 16))
+            gt = rng.integers(0, K, (16, 16))
+            nested.setdefault(cond, {}).setdefault(case, []).append(
+                intersect_and_union(pred, gt, K))
+    ret = pre_eval_to_metrics_dict(nested, ("microIoU",), num_classes=K)
+    text, eval_results, summary = render_nested_report(ret, names)
+
+    # text renders one per-class table per cell + per-condition micro tables
+    assert " per class cloud_ordinary results:" in text
+    assert " per class sun_micro_IoU results:" in text
+    assert "Summary  global:" in text
+
+    cell = eval_results["cloud"]["ordinary"]
+    assert "mIoU" in cell and "aAcc" in cell
+    assert f"IoU.{names[0]}" in cell and 0.0 <= cell["mIoU"] <= 1.0
+    micro = eval_results["cloud"]["micro_IoU"]
+    assert "mmicroIoU" in micro and f"micro_IoU.{names[1]}" in micro
+    # per-case global micro arrays land under global.<case>
+    assert "ordinary" in eval_results["global"]
+    assert "mMicroIoU" in summary and "mMicroIoU_per_condition" in summary
+    assert 0 <= summary["mMicroIoU"] <= 100
+    assert abs(eval_results["global"]["mMicroIoU"] * 100
+               - summary["mMicroIoU"]) < 1e-6
+    # json-serializable end to end
+    import json
+
+    json.dumps(eval_results)
