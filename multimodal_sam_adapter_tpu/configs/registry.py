@@ -176,9 +176,9 @@ def _muses(modality: str) -> dict:
             ann_dir="gt_semantic/{split}",
             mod_dir="projected_to_rgb/" + modality + "/{split}",
             split_names=dict(train="train", val="val", test="test"),
-            img_suffix=".png",
+            img_suffix="_frame_camera.png",
             seg_map_suffix="_gt_labelTrainIds.png",
-            mod_suffix=".npz",
+            mod_suffix=f"_{'event_camera' if modality == 'event' else modality}.npz",
             modalities_name=("rgb", modality),
             modalities_ch=(3, 3),
             cases=("clear", "rain", "fog", "snow"),
@@ -272,6 +272,36 @@ def _deliver_tiny() -> dict:
 
 
 _register(_deliver_tiny())
+
+
+def _muses_tiny() -> dict:
+    """Test-scale MUSES config (case x condition dir tree, .npz aux,
+    slide inference) for the CLI integration tests."""
+    cfg = _muses("lidar")
+    cfg["name"] = "muses_tiny"
+    cfg["model"]["num_classes"] = 19
+    cfg["model"]["head_channels"] = 16
+    cfg["model"]["backbone"] = dict(
+        copy.deepcopy(_CONFIGS["deliver_tiny"]["model"]["backbone"]),
+        modalities_ch=(3, 3),
+    )
+    cfg["train_pipeline"]["resize"] = dict(img_scale=(96, 80),
+                                           ratio_range=(0.8, 1.2))
+    cfg["train_pipeline"]["crop"] = dict(crop_size=(64, 64),
+                                         cat_max_ratio=0.75)
+    cfg["train_pipeline"]["pad"] = dict(size=(64, 64), pad_val=0,
+                                        seg_pad_val=255)
+    cfg["test_pipeline"]["resize"] = dict(img_scale=(96, 80), keep_ratio=True)
+    cfg["test_cfg"] = dict(mode="slide", crop_size=(64, 64), stride=(32, 32))
+    cfg["optimizer"].update(max_epochs=2, warmup_epochs=1)
+    cfg["data"] = dict(samples_per_gpu=2, grad_accum=1)
+    cfg["evaluation"] = dict(interval=1, metric="mIoU", save_best="mIoU",
+                             resize_dim=None, case=("rain",))
+    cfg["runner"] = dict(max_epochs=2)
+    return cfg
+
+
+_register(_muses_tiny())
 
 
 def list_configs():

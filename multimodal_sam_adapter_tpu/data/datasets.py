@@ -92,10 +92,22 @@ class SegDataset:
         self.data_root = data_root
         self.img_dir = osp.join(data_root, img_dir)
         self.ann_dir = osp.join(data_root, ann_dir) if ann_dir else None
-        self.mod_dir = osp.join(data_root, mod_dir)
+        # mod_dir/mod_suffix accept a str (one aux modality) or aligned
+        # LISTS (reference mod_dir/mod_suffix are lists, e.g.
+        # configs/_base_/datasets/muses.py:30-31 carries event + lidar)
+        mod_dirs = [mod_dir] if isinstance(mod_dir, str) else list(mod_dir)
+        mod_sufs = ([mod_suffix] if isinstance(mod_suffix, str)
+                    else list(mod_suffix))
+        assert len(mod_dirs) == len(mod_sufs), "mod_dir/mod_suffix mismatch"
+        assert len(mod_dirs) == len(modalities_ch) - 1, (
+            "one aux dir/suffix per non-RGB modality")
+        self.mod_dirs = [osp.join(data_root, d) for d in mod_dirs]
+        self.mod_suffixes = mod_sufs
+        # single-aux convenience aliases (most configs)
+        self.mod_dir = self.mod_dirs[0]
+        self.mod_suffix = self.mod_suffixes[0]
         self.img_suffix = img_suffix
         self.seg_map_suffix = seg_map_suffix
-        self.mod_suffix = mod_suffix
         self.modalities_ch = tuple(modalities_ch)
         self.reduce_zero_label = reduce_zero_label
         self.test_mode = test_mode
@@ -119,7 +131,8 @@ class SegDataset:
             infos.append(dict(
                 stem=stem,
                 img=osp.join(self.img_dir, stem + self.img_suffix),
-                mod=osp.join(self.mod_dir, stem + self.mod_suffix),
+                mod=[osp.join(d, stem + s)
+                     for d, s in zip(self.mod_dirs, self.mod_suffixes)],
                 ann=(osp.join(self.ann_dir, stem + self.seg_map_suffix)
                      if self.ann_dir else None),
             ))
@@ -130,7 +143,8 @@ class SegDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         info = self.infos[idx]
-        img = load_multimodal_image(info["img"], [info["mod"]],
+        mods = info["mod"] if isinstance(info["mod"], list) else [info["mod"]]
+        img = load_multimodal_image(info["img"], mods,
                                     self.modalities_ch[1:])
         gt = None
         if info["ann"] and (not self.test_mode or osp.exists(info["ann"])):
@@ -232,34 +246,71 @@ class MUSES(SegDataset):
     """MUSES: 19 Cityscapes classes; files live under
     <case>/<condition>/ subdirectories (cases clear/rain/fog/snow x
     conditions day/night); aux modality from .npz; `format_results` writes
-    uint8 trainId PNGs for the benchmark server."""
+    uint8 trainId PNGs for the benchmark server.
+
+    Discovery mirrors reference MUSES.py:170-185: files are enumerated per
+    case x condition directory and the pair is ENCODED into the stem as
+    'case_condition_<name>'; loading decodes the first two '_'-separated
+    path components back into the directory tree (loading.py:84-109)."""
 
     CLASSES = CITYSCAPES_CLASSES
     PALETTE = CITYSCAPES_PALETTE
     CASES = ("clear", "rain", "fog", "snow")
     CONDITIONS = ("day", "night")
 
-    def condition_of(self, stem):
-        for c in self.CONDITIONS:
-            if f"/{c}/" in stem or stem.startswith(f"{c}_") or f"_{c}" in stem:
-                return c
-        return None
+    def _load_infos(self, split_file):
+        if split_file:
+            # split files carry plain names (reference MUSES.py:159-169);
+            # the base suffix-pairing discovery applies
+            return super()._load_infos(split_file)
+        infos = []
+        for case in self.CASES:
+            for cond in self.CONDITIONS:
+                d = osp.join(self.img_dir, case, cond)
+                if not osp.isdir(d):
+                    continue
+                for fn in _scan(d):
+                    if not fn.endswith(self.img_suffix):
+                        continue
+                    base = fn[: -len(self.img_suffix)]
+                    infos.append(dict(
+                        stem=f"{case}_{cond}_{base}",
+                        img=osp.join(d, fn),
+                        mod=[osp.join(md, case, cond, base + ms)
+                             for md, ms in zip(self.mod_dirs,
+                                               self.mod_suffixes)],
+                        ann=(osp.join(self.ann_dir, case, cond,
+                                      base + self.seg_map_suffix)
+                             if self.ann_dir else None),
+                    ))
+        infos.sort(key=lambda x: x["stem"])
+        return infos
 
+    # routing decodes the encoded path components (NOT substring matching):
+    # stem = '<case>_<condition>_<name>'
     def case_of(self, stem):
-        for c in self.CASES:
-            if f"{c}/" in stem or stem.startswith(f"{c}_") or f"_{c}" in stem:
-                return c
-        return None
+        p = osp.basename(stem).split("_")
+        return p[0] if p and p[0] in self.CASES else None
+
+    def condition_of(self, stem):
+        p = osp.basename(stem).split("_")
+        return p[1] if len(p) > 1 and p[1] in self.CONDITIONS else None
 
     def format_results(self, preds, stems, out_dir: str):
-        """Write uint8 labelTrainIds PNGs (reference MUSES.py:127-138)."""
+        """Write uint8 labelTrainIds PNGs with the benchmark-server naming
+        (reference MUSES.py:127-138: drop '_frame_camera', strip everything
+        before the trailing 'R<...>' record id)."""
+        import re
+
         import cv2
 
         os.makedirs(osp.join(out_dir, "labelTrainIds"), exist_ok=True)
         files = []
         for pred, stem in zip(preds, stems):
-            fn = osp.join(out_dir, "labelTrainIds",
-                          stem.replace("/", "_") + ".png")
+            name = osp.basename(stem).replace("/", "_") + ".png"
+            name = name.replace("_frame_camera", "")
+            name = re.sub(r".*_R", "R", name)
+            fn = osp.join(out_dir, "labelTrainIds", name)
             cv2.imwrite(fn, pred.astype(np.uint8))
             files.append(fn)
         return files

@@ -87,18 +87,20 @@ def load_multimodal_image(
 ) -> np.ndarray:
     """RGB image (cv2 color/BGR) + aux modalities concat along channels.
 
-    1-channel aux files are tiled to 3 channels; .npz aux (MUSES) loads the
-    first array in the archive.
+    1-channel aux image files are tiled to 3 channels; .npz aux (MUSES)
+    loads the 'arr_0' array and expands 2-D maps to ONE channel — exactly
+    the reference semantics (loading.py:110-113: np.load(...)['arr_0'],
+    np.expand_dims(axis=2)), no tiling.
     """
     img = cv2.imread(img_path, cv2.IMREAD_COLOR).astype(np.float32)
     parts = [img]
     for path, ch in zip(mod_paths, mod_channels):
         if path.endswith(".npz"):
             with np.load(path) as z:
-                m = z[list(z.keys())[0]]
+                m = z["arr_0"] if "arr_0" in z else z[list(z.keys())[0]]
             m = np.asarray(m, np.float32)
             if m.ndim == 2:
-                m = np.tile(m[:, :, None], (1, 1, 3))
+                m = m[:, :, None]
         elif ch == 1:
             m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
             m = np.tile(np.asarray(m, np.float32)[:, :, None], (1, 1, 3))

@@ -79,22 +79,23 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
     rh_sel = jax.lax.dot_general(
         rh, sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Tq, R)
-    # static expansions: E_R[r, r*kw + w] = 1 ; E_W[w, r*kw + w] = 1
+    )  # (Tq, R) — kt-dependent column select (dynamic lane slices are
+    # not expressible in Mosaic; this tiny one-hot dot is)
+    # expand to (Tq, Tk = R*kw): k = r*kw + w, r-major — the rh term
+    # element-repeats each of its R columns kw times (small one-hot dot,
+    # Tq x R x Tk), the rw term TILES R copies along lanes (pltpu.repeat,
+    # pure vector copies). The round-1 kernel did the rw expansion as a
+    # (Tq, kw) @ (kw, Tk) one-hot MXU matmul — as expensive as the q.k^T
+    # product itself.
     col_r = jax.lax.broadcasted_iota(jnp.int32, (R, Tk), 1) // kw
     row_r = jax.lax.broadcasted_iota(jnp.int32, (R, Tk), 0)
     e_r = (col_r == row_r).astype(jnp.float32)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, Tk), 1) % kw
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, Tk), 0)
-    e_w = (col_w == row_w).astype(jnp.float32)
     bias = jax.lax.dot_general(
         rh_sel, e_r, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        rw, e_w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
     )
-    s = s + bias
+    rw_tiled = pltpu.repeat(rw, R, axis=1)         # (Tq, R*kw)
+    s = s + bias + rw_tiled
 
     m_prev = m_scr[:]                          # (Tq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -123,8 +124,8 @@ def flash_attention_rel_pos(
     rel_pos_w: jnp.ndarray,
     q_hw: Tuple[int, int],
     scale: float,
-    block_q: int = 256,
-    block_k_rows: int = 4,
+    block_q: int = 512,
+    block_k_rows: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.attention_with_decomposed_rel_pos
@@ -267,7 +268,7 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
 
 
 def flash_attention_rel_pos_diff(q, k, v, rph, rpw, q_hw, scale,
-                                 block_q: int = 256, block_k_rows: int = 4,
+                                 block_q: int = 512, block_k_rows: int = 16,
                                  interpret: bool = False):
     """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
     (one block's dense attention at a time under the stage remat)."""

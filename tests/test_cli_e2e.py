@@ -67,3 +67,112 @@ def test_train_and_test_cli(fake_deliver, tmp_path):
         cwd=repo,
     )
     assert "mIoU" in out
+
+
+@pytest.fixture(scope="module")
+def fake_muses(tmp_path_factory):
+    """MUSES layout (reference MUSES.py:62-63,170-175): per-split dirs of
+    <case>/<condition>/ subtrees; RGB '_frame_camera.png', aux
+    '<name>_lidar.npz' (HxWx3 float array under 'arr_0'), GT
+    '_gt_labelTrainIds.png'."""
+    root = tmp_path_factory.mktemp("muses")
+    rng = np.random.default_rng(1)
+    for split in ("train", "val", "test"):
+        for case in ("clear", "rain"):
+            for cond in ("day", "night"):
+                img_d = root / "frame_camera" / split / case / cond
+                mod_d = (root / "projected_to_rgb" / "lidar" / split / case
+                         / cond)
+                ann_d = root / "gt_semantic" / split / case / cond
+                for d in (img_d, mod_d, ann_d):
+                    os.makedirs(d, exist_ok=True)
+                name = f"2023-{case[:2]}-{cond[:2]}_REC{split[:2]}77"
+                img = rng.integers(0, 255, (80, 96, 3), np.uint8)
+                lid = rng.uniform(0, 30, (80, 96, 3)).astype(np.float32)
+                ann = rng.integers(0, 19, (80, 96), np.uint8)
+                cv2.imwrite(str(img_d / f"{name}_frame_camera.png"), img)
+                np.savez(str(mod_d / f"{name}_lidar.npz"), lid)
+                cv2.imwrite(str(ann_d / f"{name}_gt_labelTrainIds.png"), ann)
+    return str(root)
+
+
+def test_muses_dataset_discovery_and_routing(fake_muses):
+    from multimodal_sam_adapter_tpu.configs import get_config
+    from multimodal_sam_adapter_tpu.data.datasets import build_dataset
+
+    cfg = get_config("muses_tiny")
+    ds = build_dataset(cfg["dataset"], fake_muses, split="train")
+    assert len(ds) == 4  # 2 cases x 2 conditions
+    stems = [i["stem"] for i in ds.infos]
+    assert stems == sorted(stems)
+    s = ds[0]
+    assert s["img"].shape == (80, 96, 6)  # rgb + 3ch npz lidar
+    assert s["gt"].shape == (80, 96)
+    # routing decodes encoded path components, not substrings
+    assert s["meta"]["case"] in ("clear", "rain")
+    assert s["meta"]["condition"] in ("day", "night")
+    for info in ds.infos:
+        case, cond = info["stem"].split("_")[:2]
+        assert ds.case_of(info["stem"]) == case
+        assert ds.condition_of(info["stem"]) == cond
+
+    # format_results: benchmark-server naming (drop _frame_camera, strip
+    # everything before the trailing R<record>)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pred = np.zeros((80, 96), np.int64)
+        files = ds.format_results([pred], [ds.infos[0]["stem"]], td)
+        base = os.path.basename(files[0])
+        assert base.startswith("REC") and base.endswith(".png")
+        assert "_frame_camera" not in base
+
+
+def test_muses_train_and_test_cli(fake_muses, tmp_path):
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    work = str(tmp_path / "work_muses")
+    out = run_cli(
+        ["train.py", "muses_tiny", "--data-root", fake_muses,
+         "--work-dir", work, "--max-epochs", "1"],
+        cwd=repo,
+    )
+    assert "loss" in out
+    ckpts = os.listdir(osp.join(work, "ckpts"))
+    ckpt = osp.join(work, "ckpts",
+                    sorted(c for c in ckpts if c.startswith("step_"))[-1])
+    out = run_cli(
+        ["test.py", "muses_tiny", ckpt, "--data-root", fake_muses,
+         "--eval", "mIoU"],
+        cwd=repo,
+    )
+    assert "mIoU" in out
+
+
+def test_multi_aux_modality_lists(tmp_path):
+    """mod_dir/mod_suffix as aligned lists (reference mod_dir/mod_suffix are
+    lists, configs/_base_/datasets/muses.py:30-31): every aux modality is
+    loaded and concatenated along channels."""
+    from multimodal_sam_adapter_tpu.data.datasets import SegDataset
+
+    rng = np.random.default_rng(3)
+    for d in ("images", "ann", "lidar", "event"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    cv2.imwrite(str(tmp_path / "images/a_rgb.png"),
+                rng.integers(0, 255, (16, 20, 3), np.uint8))
+    cv2.imwrite(str(tmp_path / "lidar/a_lidar.png"),
+                rng.integers(0, 255, (16, 20, 3), np.uint8))
+    cv2.imwrite(str(tmp_path / "event/a_event.png"),
+                rng.integers(0, 255, (16, 20), np.uint8))  # 1-ch, tiled to 3
+    cv2.imwrite(str(tmp_path / "ann/a_sem.png"),
+                rng.integers(0, 5, (16, 20), np.uint8))
+
+    ds = SegDataset(
+        data_root=str(tmp_path), img_dir="images", ann_dir="ann",
+        mod_dir=["lidar", "event"], img_suffix="_rgb.png",
+        seg_map_suffix="_sem.png", mod_suffix=["_lidar.png", "_event.png"],
+        modalities_ch=(3, 3, 1),
+    )
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["img"].shape == (16, 20, 9)  # 3 rgb + 3 lidar + 3 (tiled event)
+    assert s["gt"].shape == (16, 20)

@@ -73,3 +73,101 @@ def test_mask2former_loss_finite_and_grads():
     assert np.isfinite(float(loss))
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_point_sample_and_cost_matrix_match_torch():
+    """Cost-matrix parity against the reference formulas (ClassificationCost
+    -softmax[gt], CrossEntropyLossCost BCE/n, DiceCost eps in num+den,
+    match_costs.py:93-240) with mmcv point_sample semantics
+    (grid_sample(2u-1, bilinear, align_corners=False))."""
+    import torch
+    import torch.nn.functional as F
+    from scipy.optimize import linear_sum_assignment
+
+    from multimodal_sam_adapter_tpu.models.mask2former.losses import (
+        point_sample,
+    )
+    from multimodal_sam_adapter_tpu.models.mask2former.matching import (
+        classification_cost,
+        dice_cost,
+        hungarian_assign,
+        mask_bce_cost,
+    )
+
+    rng = np.random.default_rng(0)
+    Q, G, K, h, w, P = 6, 4, 4, 9, 11, 37
+    cls_l = rng.normal(size=(Q, K + 1)).astype(np.float32)
+    masks = rng.normal(size=(Q, h, w)).astype(np.float32)
+    gt_masks = (rng.random((G, h, w)) > 0.5).astype(np.float32)
+    gt_labels = rng.integers(0, K, (G,))
+    coords = rng.random((P, 2)).astype(np.float32)
+
+    # --- torch oracle
+    def t_point_sample(m, c):
+        grid = torch.tensor(2 * c - 1.0)[None, None].expand(m.shape[0], 1,
+                                                            P, 2)
+        return F.grid_sample(torch.tensor(m)[:, None], grid.float(),
+                             mode="bilinear", align_corners=False,
+                             padding_mode="zeros")[:, 0, 0]
+
+    mp_t = t_point_sample(masks, coords)          # (Q, P)
+    gp_t = t_point_sample(gt_masks, coords)       # (G, P)
+    cls_cost_t = -torch.tensor(cls_l).softmax(-1)[:, gt_labels] * 2.0
+    pos = F.binary_cross_entropy_with_logits(
+        mp_t, torch.ones_like(mp_t), reduction="none")
+    neg = F.binary_cross_entropy_with_logits(
+        mp_t, torch.zeros_like(mp_t), reduction="none")
+    bce_cost_t = (torch.einsum("nc,mc->nm", pos, gp_t)
+                  + torch.einsum("nc,mc->nm", neg, 1 - gp_t)) / P * 5.0
+    pred = mp_t.sigmoid()
+    num = 2 * torch.einsum("nc,mc->nm", pred, gp_t)
+    den = pred.sum(-1)[:, None] + gp_t.sum(-1)[None, :]
+    dice_cost_t = (1 - (num + 1e-3) / (den + 1e-3)) * 5.0
+    cost_t = (cls_cost_t + bce_cost_t + dice_cost_t).numpy()
+    rows, cols = linear_sum_assignment(cost_t)
+
+    # --- this framework
+    mp = point_sample(jnp.asarray(masks), jnp.asarray(coords))
+    gp = point_sample(jnp.asarray(gt_masks), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(mp), mp_t.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp), gp_t.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    cost = (classification_cost(jnp.asarray(cls_l), jnp.asarray(gt_labels),
+                                2.0)
+            + mask_bce_cost(mp, gp, 5.0)
+            + dice_cost(mp, gp, 5.0))
+    np.testing.assert_allclose(np.asarray(cost), cost_t, rtol=1e-4,
+                               atol=1e-4)
+    assign = np.asarray(hungarian_assign(
+        jnp.asarray(cost), jnp.ones((G,), bool)))
+    want = np.full((Q,), -1, np.int32)
+    want[rows] = cols
+    np.testing.assert_array_equal(assign, want)
+
+
+def test_uncertain_point_coords_importance_sampling():
+    """get_uncertain_point_coords_with_randomness semantics: of the returned
+    num_points coords, the first 75% must be the most-uncertain (highest
+    -|sampled logit|) of the oversampled pool."""
+    from multimodal_sam_adapter_tpu.models.mask2former.losses import (
+        point_sample,
+        uncertain_point_coords,
+    )
+
+    key = jax.random.PRNGKey(0)
+    # a mask whose logits are near zero in a band -> uncertain there
+    h = w = 32
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    logits = ((yy - h / 2) / 2.0).astype(np.float32)  # 0-crossing at y=h/2
+    masks = jnp.asarray(logits)[None]
+
+    num_points, ratio = 64, 0.75
+    coords = uncertain_point_coords(key, masks, num_points, 3.0, ratio)
+    assert coords.shape == (1, num_points, 2)
+    n_unc = int(num_points * ratio)
+    picked = point_sample(masks, coords[0, :n_unc])
+    rest = point_sample(masks, coords[0, n_unc:])
+    # the importance-picked points hug the zero crossing
+    assert float(jnp.abs(picked).mean()) < float(jnp.abs(rest).mean())
+    assert float(jnp.abs(picked).max()) < 3.0
