@@ -268,14 +268,16 @@ def _onehot_kernel(P: int, TQ: int, HWq: int, D: int, mm_dtype,
         acc_ref[:] = jnp.zeros((TQ, D), jnp.float32)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, HWq), 1)
-    wmat = jnp.zeros((TQ, HWq), mm_dtype)
+    wmat = jnp.zeros((TQ, HWq), jnp.float32)
     for p in range(P):
-        # mask as arithmetic, not select: Mosaic rejects the i1 relayout
-        # that jnp.where(concrete_mask, lane-replicated wv, 0) demands
+        # 3 VPU ops/element (cmp, broadcast-add, select), all concrete
+        # layouts — Mosaic rejects jnp.where(mask, lane-replicated wv, 0)
+        # (i1 relayout), and the cast form (eq.astype * wv) costs 4 ops
         idx = idx_ref[0, 0, :, p : p + 1]            # (TQ, 1), lane-replicated
-        wv = w_ref[0, 0, :, p : p + 1].astype(mm_dtype)
-        eq = (iota == idx).astype(mm_dtype)          # concrete (TQ, HWq)
-        wmat = wmat + eq * wv
+        wv = w_ref[0, 0, :, p : p + 1]               # (TQ, 1) f32
+        wmat = jnp.where(iota == idx, wmat + wv, wmat)
+    if mm_dtype != jnp.float32:
+        wmat = wmat.astype(mm_dtype)
     acc_ref[:] += jax.lax.dot_general(
         wmat, tab_ref[0, 0],
         (((1,), (0,)), ((), ())),
@@ -295,7 +297,7 @@ def _msda_level_onehot(value_l, H, W, loc_l, att_l, interpret: bool = False):
     idx, w = _prepare_level_quadrant(loc_l, att_l, H, W)
     tabs = _quadrant_tables(value_l.astype(mm_dtype), H, W)
     HWq = tabs.shape[2]
-    TQ = min(512 if HWq <= 1024 else 256, max(128, Lq))
+    TQ = min(1024 if HWq <= 1024 else 256, max(128, Lq))
     pad = (-Lq) % TQ
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -21,6 +21,8 @@ from multimodal_sam_adapter_tpu.engine.convert_full import (
 from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
 from tests.test_model_forward import TINY_BACKBONE
 
+pytestmark = pytest.mark.slow
+
 EMBED = TINY_BACKBONE["embed_dim"]          # 32
 HEADS = TINY_BACKBONE["num_heads"]          # 2
 DEPTH = TINY_BACKBONE["depth"]              # 4

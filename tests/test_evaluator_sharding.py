@@ -11,6 +11,8 @@ from multimodal_sam_adapter_tpu.engine.inference import InferenceEngine
 from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
 from tests.test_model_forward import TINY_BACKBONE
 
+pytestmark = pytest.mark.slow
+
 K = 5
 
 

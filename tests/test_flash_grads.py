@@ -1,5 +1,6 @@
 """Flash-attention custom VJP (chunked dense backward) vs autodiff of the
 dense reference path."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ from multimodal_sam_adapter_tpu.ops.attention import (
     attention_with_decomposed_rel_pos,
 )
 from multimodal_sam_adapter_tpu.ops.flash_attention import _make_diff_flash
+
+pytestmark = pytest.mark.slow
 
 
 def test_flash_vjp_matches_dense():

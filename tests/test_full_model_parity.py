@@ -25,8 +25,11 @@ import jax
 import jax.numpy as jnp
 
 REF = "/root/reference/segmentation"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference tree not available")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference tree not available"),
+]
 
 if os.path.isdir(REF) and REF not in sys.path:
     sys.path.insert(0, REF)

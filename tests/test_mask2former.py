@@ -1,4 +1,5 @@
 """Mask2Former family smoke + semantics tests."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,8 @@ from multimodal_sam_adapter_tpu.models.mask2former import (
     hungarian_assign,
     mask2former_loss,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _pyramid(B=1, C=32, h4=16):

@@ -11,6 +11,8 @@ from multimodal_sam_adapter_tpu.ops.msda_pallas import (
 )
 from tests.test_msda import make_inputs
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("variant", ["gather", "loads"])
 @pytest.mark.parametrize(

@@ -23,6 +23,8 @@ from multimodal_sam_adapter_tpu.engine.train import (
 from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
 from tests.test_model_forward import TINY_BACKBONE
 
+pytestmark = pytest.mark.slow
+
 
 def test_layer_id_rules():
     assert vit_layer_id("backbone/pos_embed", 24) == 0
