@@ -8,12 +8,63 @@
 //   per modality slice: optional /255 (norm_by_max), optional BGR->RGB
 //   channel flip, (x - mean) / std; then bottom/right zero padding.
 //
+// The transform collapses to dst[d] = src[k] * a[k] + b[k] with a channel
+// permutation — precomputed per channel so the row loop is pure fused
+// multiply-adds the compiler can vectorize (templated on the channel
+// count for the common layouts; divisions happen once per image).
+//
 // Exposed via a C ABI for ctypes (no pybind11 dependency). Built by
 // native/build.sh; python side: multimodal_sam_adapter_tpu/data/native.py
 // (falls back to the numpy path when the .so is absent).
 
 #include <cstdint>
 #include <cstring>
+
+namespace {
+
+template <int C>
+void normalize_rows_fixed(const float* __restrict img, int h, int w,
+                          float* __restrict out, int out_h, int out_w,
+                          const int* __restrict dst,
+                          const float* __restrict a,
+                          const float* __restrict b, float pad_val) {
+    for (int y = 0; y < out_h; ++y) {
+        float* __restrict orow = out + (int64_t)y * out_w * C;
+        if (y >= h) {
+            for (int i = 0; i < out_w * C; ++i) orow[i] = pad_val;
+            continue;
+        }
+        const float* __restrict irow = img + (int64_t)y * w * C;
+        for (int x = 0; x < w; ++x) {
+            const float* __restrict ipx = irow + (int64_t)x * C;
+            float* __restrict opx = orow + (int64_t)x * C;
+#pragma GCC unroll 16
+            for (int k = 0; k < C; ++k) opx[dst[k]] = ipx[k] * a[k] + b[k];
+        }
+        for (int i = w * C; i < out_w * C; ++i) orow[i] = pad_val;
+    }
+}
+
+void normalize_rows_any(const float* img, int h, int w, int c, float* out,
+                        int out_h, int out_w, const int* dst, const float* a,
+                        const float* b, float pad_val) {
+    for (int y = 0; y < out_h; ++y) {
+        float* orow = out + (int64_t)y * out_w * c;
+        if (y >= h) {
+            for (int i = 0; i < out_w * c; ++i) orow[i] = pad_val;
+            continue;
+        }
+        const float* irow = img + (int64_t)y * w * c;
+        for (int x = 0; x < w; ++x) {
+            const float* ipx = irow + (int64_t)x * c;
+            float* opx = orow + (int64_t)x * c;
+            for (int k = 0; k < c; ++k) opx[dst[k]] = ipx[k] * a[k] + b[k];
+        }
+        for (int i = w * c; i < out_w * c; ++i) orow[i] = pad_val;
+    }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -32,40 +83,33 @@ void msa_normalize_pad(
     const int* flip, const int* div255,
     float pad_val)
 {
-    // precompute per-source-channel: destination channel, scale, bias
-    // dst = (src * pre_scale - mean[dst]) / std[dst]
-    int src2dst[64];
-    float pre_scale[64];
+    // per-source-channel fused transform: out[dst[k]] = src[k]*a[k] + b[k]
+    int dst[64];
+    float a[64], b[64];
     int base = 0;
     for (int m = 0; m < n_mod; ++m) {
         for (int j = 0; j < ch[m]; ++j) {
             int src = base + j;
-            int dst = flip[m] ? (base + ch[m] - 1 - j) : src;
-            src2dst[src] = dst;
-            pre_scale[src] = div255[m] ? (1.0f / 255.0f) : 1.0f;
+            int d = flip[m] ? (base + ch[m] - 1 - j) : src;
+            float pre = div255[m] ? (1.0f / 255.0f) : 1.0f;
+            dst[src] = d;
+            a[src] = pre / stdev[d];
+            b[src] = -mean[d] / stdev[d];
         }
         base += ch[m];
     }
 
-    for (int y = 0; y < out_h; ++y) {
-        float* orow = out + (int64_t)y * out_w * c;
-        if (y >= h) {
-            for (int i = 0; i < out_w * c; ++i) orow[i] = pad_val;
-            continue;
-        }
-        const float* irow = img + (int64_t)y * w * c;
-        for (int x = 0; x < out_w; ++x) {
-            float* opx = orow + (int64_t)x * c;
-            if (x >= w) {
-                for (int k = 0; k < c; ++k) opx[k] = pad_val;
-                continue;
-            }
-            const float* ipx = irow + (int64_t)x * c;
-            for (int k = 0; k < c; ++k) {
-                int d = src2dst[k];
-                opx[d] = (ipx[k] * pre_scale[k] - mean[d]) / stdev[d];
-            }
-        }
+    switch (c) {
+        case 3:  normalize_rows_fixed<3>(img, h, w, out, out_h, out_w,
+                                         dst, a, b, pad_val); break;
+        case 4:  normalize_rows_fixed<4>(img, h, w, out, out_h, out_w,
+                                         dst, a, b, pad_val); break;
+        case 6:  normalize_rows_fixed<6>(img, h, w, out, out_h, out_w,
+                                         dst, a, b, pad_val); break;
+        case 9:  normalize_rows_fixed<9>(img, h, w, out, out_h, out_w,
+                                         dst, a, b, pad_val); break;
+        default: normalize_rows_any(img, h, w, c, out, out_h, out_w,
+                                    dst, a, b, pad_val); break;
     }
 }
 
