@@ -394,14 +394,17 @@ class MSDeformAttention(nn.Module):
         if impl == "auto":
             impl = os.environ.get("MSA_MSDA_IMPL", "auto")
         if impl == "auto":
-            # 'pallas_onehot' (fused compare+MXU kernel, zero gathers) on
-            # TPU: the Wmat tile is built in VMEM and contracted in place —
-            # measured 5.5/4.5 ms per extractor/injector call vs 6.4/5.2
-            # for the XLA one-hot build, and immune to the 2026-08 libtpu
-            # gather regression. Backward = autodiff of the XLA one-hot
-            # (dense, gather-free). 'xla' elsewhere (CPU gathers are fine
-            # and cheaper than the dense one-hot build).
-            impl = ("pallas_onehot" if jax.default_backend() == "tpu"
+            # 'onehot' (XLA compare+MXU build, zero gathers) on TPU —
+            # immune to the 2026-08 libtpu gather regression. The fused
+            # Pallas variant ('pallas_onehot') wins in ISOLATION (5.5/4.5
+            # vs 6.4/5.2 ms per extractor/injector call) but LOSES ~45 ms
+            # in the full flagship forward (225 vs 180 ms total): XLA fuses
+            # the one-hot build and the quadrant-table prep with the
+            # surrounding projections, which the pallas_call boundary
+            # forbids. Kept as an env-selectable variant for triage.
+            # 'xla' (gather program) elsewhere (CPU gathers are fine and
+            # cheaper than the dense one-hot build).
+            impl = ("onehot" if jax.default_backend() == "tpu"
                     else "xla")
         if impl == "pallas_onehot":
             from .msda_pallas import make_ms_deform_attn
