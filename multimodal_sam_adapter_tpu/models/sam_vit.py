@@ -105,13 +105,19 @@ class ViTAttention(nn.Module):
         if impl == "auto":
             impl = os.environ.get("MSA_ATTN_IMPL", "auto")
         if impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
             # flash only on lane-aligned global grids (W%64==0); a 48-wide
             # grid miscompiled/crashed the worker on v5e — dense elsewhere
             big = H * W >= 1024 and (H * W) % 256 == 0
             aligned = W % 64 == 0 and H % 8 == 0
-            impl = "flash" if (
-                jax.default_backend() == "tpu" and big and aligned
-            ) else "dense"
+            if on_tpu and big and aligned:
+                impl = "flash"
+            elif on_tpu and H == W and H * W <= 1024 and self.use_rel_pos:
+                # windowed blocks: fused single-tile kernel (the dense path
+                # round-trips the 61 MB score tensor through HBM per block)
+                impl = "win_fused"
+            else:
+                impl = "dense"
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
@@ -133,6 +139,13 @@ class ViTAttention(nn.Module):
 
                 out = flash_attention_rel_pos_diff(
                     q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
+                )
+            elif impl == "win_fused":
+                from ..ops.window_attention import window_attention_fused
+
+                assert H == W, "win_fused expects square windows"
+                out = window_attention_fused(
+                    q, k, v, rel_pos_h, rel_pos_w, H, scale
                 )
             else:
                 out = attention_with_decomposed_rel_pos(

@@ -1,0 +1,139 @@
+"""Fused window attention with decomposed rel-pos (SAM windowed blocks).
+
+The 20 windowed SAM ViT-L blocks compute attention over 25 windows x 16
+heads of 196 tokens each (14x14 windows on the 64x64 grid). The XLA path
+(ops/attention.py) materializes the (400, 196, 196) f32 score tensor in HBM
+(~61 MB) and streams it through the bias-add + softmax + AV chain — at 20
+blocks that is >1.2 GB of avoidable HBM traffic per forward.
+
+This kernel fuses QK^T -> +decomposed-bias -> softmax -> AV per window
+batch entirely in VMEM. A window's score tile (196x196 f32) is ~150 KB, so
+a grid step processes G windows with a small unrolled loop. The decomposed
+bias is expanded in-kernel from the two (N, ws) terms:
+
+    bias[q, kh*ws + kw] = rel_h[q, kh] + rel_w[q, kw]
+
+rel_h expands with a static one-hot MXU dot (repeat each column ws times,
+kh-major), rel_w with `pltpu.repeat` (lane tiling) — no gathers, mirroring
+the global flash kernel (flash_attention.py). Softmax is exact (single
+tile), so numerics match the dense reference path
+(reference base/image_encoder.py:492-498) to f32 rounding.
+
+Backward: dense XLA autodiff path via jax.custom_vjp (the window batch is
+small enough that the dense backward under the per-block remat is fine).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import rel_pos_bias_terms
+
+
+def _win_kernel(G: int, ws: int, scale: float,
+                q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
+    N = ws * ws
+    # static kh-major expansion matrix: column k of the bias gets rel_h
+    # column k // ws
+    kh = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 0)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 1) // ws
+    e_h = (kh == kcol).astype(jnp.float32)  # (ws, N)
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, N)
+        rh = rh_ref[g].astype(jnp.float32)           # (N, ws)
+        rw = rw_ref[g].astype(jnp.float32)           # (N, ws)
+        bias_h = jax.lax.dot_general(
+            rh, e_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_h + pltpu.repeat(rw, ws, axis=1)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g] = o.astype(o_ref.dtype)
+
+
+def window_attention_fused_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
+                               group: int = 8, interpret: bool = False):
+    """q, k, v: (B, N, d) with B = windows*heads, N = ws*ws.
+    rel_h, rel_w: (B, N, ws) decomposed bias terms."""
+    B, N, d = q.shape
+    assert N == ws * ws
+    G = group
+    while B % G:
+        G -= 1
+    out = pl.pallas_call(
+        functools.partial(_win_kernel, G, ws, scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_window_attn(ws, scale, group, interpret):
+    from .attention import attention_with_decomposed_rel_pos
+
+    @jax.custom_vjp
+    def fn(q, k, v, rph, rpw):
+        rel_h, rel_w = rel_pos_bias_terms(q, rph, rpw, (ws, ws), (ws, ws))
+        B, N, _ = q.shape
+        rel_h = rel_h.reshape(B, N, ws)
+        rel_w = rel_w.reshape(B, N, ws)
+        return window_attention_fused_fwd(
+            q, k, v, rel_h, rel_w, ws, scale, group=group,
+            interpret=interpret,
+        )
+
+    def fwd(q, k, v, rph, rpw):
+        return fn(q, k, v, rph, rpw), (q, k, v, rph, rpw)
+
+    def bwd(res, g):
+        q, k, v, rph, rpw = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, rph_, rpw_: attention_with_decomposed_rel_pos(
+                q_, k_, v_, rph_, rpw_, (ws, ws), scale
+            ),
+            q, k, v, rph, rpw,
+        )
+        return vjp(g.astype(q.dtype))
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def window_attention_fused(q, k, v, rel_pos_h, rel_pos_w, ws: int,
+                           scale: float, group: int = 8,
+                           interpret: bool = False):
+    """Differentiable fused window attention: Pallas forward, dense XLA VJP."""
+    return _make_diff_window_attn(ws, float(scale), group, interpret)(
+        q, k, v, rel_pos_h, rel_pos_w
+    )
