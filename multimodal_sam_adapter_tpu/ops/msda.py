@@ -394,23 +394,25 @@ class MSDeformAttention(nn.Module):
         if impl == "auto":
             impl = os.environ.get("MSA_MSDA_IMPL", "auto")
         if impl == "auto":
-            # 'onehot' (XLA compare+MXU build, zero gathers) on TPU —
-            # immune to the 2026-08 libtpu gather regression. The fused
-            # Pallas variant ('pallas_onehot') wins in ISOLATION (5.5/4.5
-            # vs 6.4/5.2 ms per extractor/injector call) but LOSES ~45 ms
-            # in the full flagship forward (225 vs 180 ms total): XLA fuses
-            # the one-hot build and the quadrant-table prep with the
-            # surrounding projections, which the pallas_call boundary
-            # forbids. Kept as an env-selectable variant for triage.
-            # 'xla' (gather program) elsewhere (CPU gathers are fine and
-            # cheaper than the dense one-hot build).
-            impl = ("onehot" if jax.default_backend() == "tpu"
+            # 'pallas_digit' on TPU: the digit-decomposed kernel
+            # (msda_pallas._msda_level_digit) measured 1.08/2.50 ms per
+            # full injector/extractor call vs 3.70/8.28 for the XLA
+            # one-hot — both in-context, v5e flagship shapes. Unlike the
+            # earlier fused one-hot kernel (which lost ~45 ms in the full
+            # forward to fusion-boundary effects), its idx/w inputs are
+            # queries-minor (no tile-padding blowup) and the one-hot never
+            # exists outside VMEM. 'onehot' (XLA compare+MXU build) stays
+            # the gather-free non-Pallas fallback; 'xla' (gather program)
+            # elsewhere (CPU gathers are fine and cheaper than the dense
+            # one-hot build).
+            impl = ("pallas_digit" if jax.default_backend() == "tpu"
                     else "xla")
-        if impl == "pallas_onehot":
+        if impl in ("pallas_onehot", "pallas_digit"):
             from .msda_pallas import make_ms_deform_attn
 
             out = make_ms_deform_attn(
-                tuple(spatial_shapes), variant="onehot"
+                tuple(spatial_shapes),
+                variant=impl.removeprefix("pallas_"),
             )(value, loc, attn)
         elif impl == "pallas":
             from .msda_pallas import make_ms_deform_attn

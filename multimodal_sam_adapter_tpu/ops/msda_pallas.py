@@ -324,6 +324,117 @@ def _msda_level_onehot(value_l, H, W, loc_l, att_l, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# variant 4: digit-decomposed one-hot (lo-digit MXU contraction + hi-digit
+# VPU select) — the fastest TPU formulation measured here
+# ---------------------------------------------------------------------------
+#
+# The quadrant one-hot (variant 3 / ops.msda.ms_deform_attn_onehot) pays
+# P compare-select passes over the FULL HWq-slot axis per query — its VPU
+# floor (~P*HW element-ops/query/head) dominates MSDA at flagship shapes.
+# Digit split: write the packed quadrant index as s = hi*LO + lo and note
+#   out[q] = sum_p w_p T[s_p] = sum_p sum_h [hi_p==h] (dlo_p @ T[h*LO:...]),
+# i.e. a weighted one-hot over the LO-wide lo-digit (built with LO compares,
+# contracted on the MXU against the digit-regrouped table) followed by an
+# HI-way select-accumulate over the hi-digit (HI*D VPU ops). Total VPU work
+# per (query, point): 2*LO + 3*HI*D instead of 3*HW/4 — 3-4x less at
+# LO*HI = HW/4 — while the MXU pays P*HW*D MACs (4x the P-summed wmat dot,
+# but the MXU has ~50x the VPU's throughput). Everything lives in VMEM;
+# the streamed XLA wmat (Lq*HW*4 bytes/head of HBM traffic) disappears.
+#
+# Layout: queries ride the LANE axis throughout (idx/w arrive as
+# (4, BM, P, Lq) — minor dim Lq, so no 4..32x tile padding on the small
+# side inputs, unlike a (.., Lq, P) layout), the one-hot is built
+# transposed (LO sublanes x TQ lanes), and the dot computes
+# U^T = tabT @ dloT so every per-query scalar broadcast is a natural
+# lane-vector broadcast in Mosaic.
+
+
+def _digit_lo(slots: int) -> int:
+    """lo-digit width: >=128 (full MXU contraction depth), <=512 (VMEM),
+    targeting HI ~= 8 so the hi-select stays cheap."""
+    lo = 128
+    while slots > lo * 8 and lo < 512:
+        lo *= 2
+    return lo
+
+
+def _digit_kernel(P: int, TQ: int, LO: int, HI: int, D: int, mm_dtype,
+                  idx_ref, w_ref, tab_ref, out_ref, acc_ref):
+    quad = pl.program_id(2)
+
+    @pl.when(quad == 0)
+    def _():
+        acc_ref[:] = jnp.zeros((D, TQ), jnp.float32)
+
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, TQ), 0)
+    tab = tab_ref[0, 0]                                   # (HI*D, LO)
+    for p in range(P):
+        idx = idx_ref[0, 0, p : p + 1, :]                 # (1, TQ) int32
+        wv = w_ref[0, 0, p : p + 1, :]                    # (1, TQ) f32
+        lo = idx % LO
+        hi = idx // LO
+        # weighted lo-digit one-hot, transposed: (LO, TQ)
+        dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
+        ut = jax.lax.dot_general(
+            tab, dlo.astype(mm_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (HI*D, TQ)
+        for h in range(HI):
+            acc_ref[:] += jnp.where(
+                hi == h, ut[h * D : (h + 1) * D, :], 0.0
+            )
+
+    @pl.when(quad == 3)
+    def _():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _msda_level_digit(value_l, H, W, loc_l, att_l, interpret: bool = False):
+    """value_l: (BM, HW, D); loc_l: (B, Lq, M, P, 2). Returns (BM, Lq, D) f32."""
+    BM, HW, D = value_l.shape
+    B, Lq, M, P, _ = loc_l.shape
+    mm_dtype = jnp.bfloat16 if value_l.dtype == jnp.bfloat16 else jnp.float32
+    idx, w = _prepare_level_quadrant(loc_l, att_l, H, W)   # (4, BM, Lq, P)
+    # queries minor: (4, BM, P, Lq) — lane-aligned, no tile padding
+    idx = idx.transpose(0, 1, 3, 2)
+    w = w.transpose(0, 1, 3, 2)
+    tabs = _quadrant_tables(value_l.astype(mm_dtype), H, W)  # (4,BM,HWq,D)
+    HWq = tabs.shape[2]
+    LO = _digit_lo(HWq)
+    HI = -(-HWq // LO)
+    if LO * HI != HWq:
+        tabs = jnp.pad(tabs, ((0, 0), (0, 0), (0, LO * HI - HWq), (0, 0)))
+    # digit-regrouped, transposed table: (4, BM, HI*D, LO)
+    tabs = tabs.reshape(4, BM, HI, LO, D).transpose(0, 1, 2, 4, 3)
+    tabs = tabs.reshape(4, BM, HI * D, LO)
+    TQ = 512 if Lq >= 512 else max(128, Lq)
+    pad = (-Lq) % TQ
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    Lqp = Lq + pad
+    out = pl.pallas_call(
+        functools.partial(_digit_kernel, P, TQ, LO, HI, D, mm_dtype),
+        grid=(BM, Lqp // TQ, 4),
+        in_specs=[
+            pl.BlockSpec((1, 1, P, TQ), lambda bm, t, q: (q, bm, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P, TQ), lambda bm, t, q: (q, bm, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HI * D, LO), lambda bm, t, q: (q, bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t, q: (bm, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, TQ), jnp.float32)],
+        interpret=interpret,
+    )(idx, w, tabs)
+    return out[:, :, :Lq].transpose(0, 2, 1)               # (BM, Lq, D)
+
+
+# ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
 
@@ -346,7 +457,10 @@ def ms_deform_attn_pallas_fwd(
         val = val.transpose(0, 2, 1, 3).reshape(B * M, H * W, D)
         loc_l = sampling_locations[:, :, :, lvl]
         att_l = attention_weights[:, :, :, lvl]
-        if variant == "onehot":
+        if variant == "digit":
+            o = _msda_level_digit(val, H, W, loc_l, att_l,
+                                  interpret=interpret)
+        elif variant == "onehot":
             o = _msda_level_onehot(val, H, W, loc_l, att_l,
                                    interpret=interpret)
         elif variant == "gather":
@@ -376,9 +490,9 @@ def _make_ms_deform_attn_cached(shapes, variant: str, interpret: bool):
     from .msda import ms_deform_attn_onehot as msda_onehot
 
     # backward = autodiff of the matching XLA formulation (the col2im
-    # analogue). The onehot variant's backward must avoid gathers too
+    # analogue). The onehot/digit variants' backward must avoid gathers too
     # (the 2026-08 libtpu regression makes scatter/gather ~100x slower).
-    bwd_impl = msda_onehot if variant == "onehot" else msda_xla
+    bwd_impl = msda_onehot if variant in ("onehot", "digit") else msda_xla
 
     @jax.custom_vjp
     def fn(value, loc, att):

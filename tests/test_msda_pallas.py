@@ -55,6 +55,44 @@ def test_pallas_custom_vjp_matches_xla_grads():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_digit_variant_matches_oracle_and_grads():
+    """Digit-decomposed kernel (lo-digit MXU contraction + hi-digit select):
+    exact match with the XLA one-hot forward (both are exact re-expressions
+    of the bilinear spec) and correct custom-VJP grads."""
+    from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn_onehot
+
+    rng = np.random.default_rng(13)
+    # odd H/W + multiple levels exercise quadrant padding and the
+    # slots->LO*HI padding; Lq below/above the 512 tile both covered
+    shapes = ((19, 13), (5, 4))
+    S = sum(h * w for h, w in shapes)
+    B, M, D, Lq, P = 2, 2, 32, 600, 4
+    val = jnp.asarray(rng.normal(size=(B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, size=(B, Lq, M, 2, P, 2)),
+                      jnp.float32)
+    att = jnp.asarray(rng.uniform(0.1, 1, size=(B, Lq, M, 2, P)),
+                      jnp.float32)
+
+    fn = make_ms_deform_attn(shapes, variant="digit", interpret=True)
+    with jax.default_matmul_precision("highest"):
+        got = fn(val, loc, att)
+        want = ms_deform_attn_onehot(val, shapes, loc, att)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+        g1 = jax.grad(lambda v, l, a: jnp.sum(fn(v, l, a) ** 2),
+                      argnums=(0, 1, 2))(val, loc, att)
+        g2 = jax.grad(
+            lambda v, l, a: jnp.sum(ms_deform_attn_onehot(v, shapes, l, a) ** 2),
+            argnums=(0, 1, 2))(val, loc, att)
+    # the two impls' FORWARD outputs differ by f32 rounding; the squared
+    # loss doubles that into the cotangent, so grads carry ~1e-3 relative
+    # accumulation noise
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
 def test_onehot_variant_matches_xla_and_grads():
     """Fused one-hot kernel (the TPU-default forward): exact match with the
     XLA one-hot and correct custom-VJP grads (backward = XLA one-hot)."""
