@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import BatchNorm, GroupNorm, LayerNorm, Scale, Scale2, h_swish
+from ..nn.layers import (BatchNorm, GroupNorm, LayerNorm, Scale, Scale2,
+                         _LNCore, h_swish)
 
 
 class GroupedConvDense(nn.Module):
@@ -135,7 +136,8 @@ class GFE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = _LNCore(eps=1e-5, use_bias=True, use_scale=True,
+                    dtype=self.dtype, name="norm1")(x)
         y = ChannelAttention(
             dim=self.dim, num_heads=self.num_heads, groups=self.groups,
             dtype=self.dtype, name="attn",
@@ -248,7 +250,8 @@ class GFFM(nn.Module):
         outx = Scale(0.0, name="gammax")(outx) + fx
         outy = Scale(0.0, name="gammay")(outy) + fy
         out = jnp.concatenate([outx, outy], axis=1)  # (B, 2C, HW)
-        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
+        out = _LNCore(eps=1e-5, use_bias=True, use_scale=True,
+                      dtype=self.dtype, name="norm")(out)
         return out.transpose(0, 2, 1).reshape(B, H, W, C2)
 
 

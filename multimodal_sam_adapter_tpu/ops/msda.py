@@ -355,7 +355,7 @@ class MSDeformAttention(nn.Module):
         value = nn.Dense(d_value, dtype=self.dtype, name="value_proj")(input_flatten)
         value = value.reshape(B, S, self.n_heads, d_value // self.n_heads)
 
-        offs = nn.Dense(
+        offs_flat = nn.Dense(
             self.n_heads * self.n_levels * self.n_points * 2,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
@@ -365,27 +365,14 @@ class MSDeformAttention(nn.Module):
             ),
             name="sampling_offsets",
         )(query)
-        offs = offs.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points, 2)
 
-        attn = nn.Dense(
+        attn_logits = nn.Dense(
             self.n_heads * self.n_levels * self.n_points,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
         )(query)
-        attn = attn.reshape(B, Lq, self.n_heads, self.n_levels * self.n_points)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = attn.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points)
-
-        # normalize offsets by each level's (W, H)
-        normalizer = jnp.asarray(
-            [[w, h] for h, w in spatial_shapes], dtype=offs.dtype
-        )  # (L, 2) as (x=W, y=H)
-        loc = (
-            reference_points[:, :, None, :, None, :]
-            + offs / normalizer[None, None, None, :, None, :]
-        )
 
         # MSA_MSDA_IMPL is a debug/triage knob, resolved at TRACE time (it
         # bakes into the jitted HLO); it only applies when the module was
@@ -407,12 +394,45 @@ class MSDeformAttention(nn.Module):
             # one-hot build).
             impl = ("pallas_digit" if jax.default_backend() == "tpu"
                     else "xla")
-        if impl in ("pallas_onehot", "pallas_digit"):
+
+        if impl == "pallas_digit":
+            # flat custom_vjp boundary: the (B, Lq, M, L, P, 2) location
+            # tensor tile-pads ~128x on TPU; the flat projections don't
+            from .msda_pallas import make_ms_deform_attn_flat
+
+            ref_T = reference_points.astype(jnp.float32)
+            ref_T = ref_T.transpose(0, 2, 3, 1).reshape(
+                B, self.n_levels * 2, Lq
+            )
+            out = make_ms_deform_attn_flat(
+                tuple(spatial_shapes), self.n_heads, self.n_points
+            )(value, offs_flat, attn_logits, ref_T)
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            name="output_proj")(out)
+
+        offs = offs_flat.reshape(
+            B, Lq, self.n_heads, self.n_levels, self.n_points, 2
+        )
+        attn = attn_logits.reshape(
+            B, Lq, self.n_heads, self.n_levels * self.n_points
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points)
+
+        # normalize offsets by each level's (W, H)
+        normalizer = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], dtype=offs.dtype
+        )  # (L, 2) as (x=W, y=H)
+        loc = (
+            reference_points[:, :, None, :, None, :]
+            + offs / normalizer[None, None, None, :, None, :]
+        )
+
+        if impl == "pallas_onehot":
             from .msda_pallas import make_ms_deform_attn
 
             out = make_ms_deform_attn(
-                tuple(spatial_shapes),
-                variant=impl.removeprefix("pallas_"),
+                tuple(spatial_shapes), variant="onehot",
             )(value, loc, attn)
         elif impl == "pallas":
             from .msda_pallas import make_ms_deform_attn

@@ -359,35 +359,31 @@ def _digit_lo(slots: int) -> int:
 
 
 def _digit_kernel(P: int, TQ: int, LO: int, HI: int, D: int, mm_dtype,
-                  idx_ref, w_ref, tab_ref, out_ref, acc_ref):
-    quad = pl.program_id(2)
-
-    @pl.when(quad == 0)
-    def _():
-        acc_ref[:] = jnp.zeros((D, TQ), jnp.float32)
-
+                  idx_ref, w_ref, tab_ref, out_ref):
+    # all 4 quadrants are processed inside one grid step (the tables fit
+    # VMEM comfortably): 4x fewer grid steps than a (.., 4) grid axis —
+    # the kernel is partly step-overhead-bound at flagship shapes
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, TQ), 0)
-    tab = tab_ref[0, 0]                                   # (HI*D, LO)
-    for p in range(P):
-        idx = idx_ref[0, 0, p : p + 1, :]                 # (1, TQ) int32
-        wv = w_ref[0, 0, p : p + 1, :]                    # (1, TQ) f32
-        lo = idx % LO
-        hi = idx // LO
-        # weighted lo-digit one-hot, transposed: (LO, TQ)
-        dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
-        ut = jax.lax.dot_general(
-            tab, dlo.astype(mm_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (HI*D, TQ)
-        for h in range(HI):
-            acc_ref[:] += jnp.where(
-                hi == h, ut[h * D : (h + 1) * D, :], 0.0
-            )
-
-    @pl.when(quad == 3)
-    def _():
-        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+    acc = jnp.zeros((D, TQ), jnp.float32)
+    for quad in range(4):
+        tab = tab_ref[quad, 0]                            # (HI*D, LO)
+        for p in range(P):
+            idx = idx_ref[quad, 0, p : p + 1, :]          # (1, TQ) int32
+            wv = w_ref[quad, 0, p : p + 1, :]             # (1, TQ) f32
+            lo = idx % LO
+            hi = idx // LO
+            # weighted lo-digit one-hot, transposed: (LO, TQ)
+            dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
+            ut = jax.lax.dot_general(
+                tab, dlo.astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (HI*D, TQ)
+            for h in range(HI):
+                acc = acc + jnp.where(
+                    hi == h, ut[h * D : (h + 1) * D, :], 0.0
+                )
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _msda_level_digit(value_l, H, W, loc_l, att_l, interpret: bool = False):
@@ -408,7 +404,7 @@ def _msda_level_digit(value_l, H, W, loc_l, att_l, interpret: bool = False):
     # digit-regrouped, transposed table: (4, BM, HI*D, LO)
     tabs = tabs.reshape(4, BM, HI, LO, D).transpose(0, 1, 2, 4, 3)
     tabs = tabs.reshape(4, BM, HI * D, LO)
-    TQ = 512 if Lq >= 512 else max(128, Lq)
+    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
     pad = (-Lq) % TQ
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, 0), (0, pad)))
@@ -416,22 +412,235 @@ def _msda_level_digit(value_l, H, W, loc_l, att_l, interpret: bool = False):
     Lqp = Lq + pad
     out = pl.pallas_call(
         functools.partial(_digit_kernel, P, TQ, LO, HI, D, mm_dtype),
-        grid=(BM, Lqp // TQ, 4),
+        grid=(BM, Lqp // TQ),
         in_specs=[
-            pl.BlockSpec((1, 1, P, TQ), lambda bm, t, q: (q, bm, 0, t),
+            pl.BlockSpec((4, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, TQ), lambda bm, t, q: (q, bm, 0, t),
+            pl.BlockSpec((4, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, HI * D, LO), lambda bm, t, q: (q, bm, 0, 0),
+            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t, q: (bm, 0, t),
+        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D, TQ), jnp.float32)],
         interpret=interpret,
     )(idx, w, tabs)
     return out[:, :, :Lq].transpose(0, 2, 1)               # (BM, Lq, D)
+
+
+def _prepare_quadrant_T(x, y, att, H: int, W: int):
+    """Queries-minor quadrant prep: x, y are absolute level-grid coords
+    (already *W - 0.5 / *H - 0.5), att the folded attention weight, all
+    (BM, P, Lq). Returns idx, w: (4, BM, P, Lq) — the same quantities as
+    _prepare_level_quadrant but with Lq on the lane axis end to end, so the
+    whole prep fuses into one elementwise pass with no tile-padding blowup
+    (the (.., P, 2)-minor layouts of the untransposed path tile-pad 32-128x
+    and were measured as multi-ms DMA copies at the custom_vjp boundary).
+    """
+    Wh = (W + 1) // 2
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    a = jnp.clip(x0, 0, max(W - 2, 0))
+    b = jnp.clip(y0, 0, max(H - 2, 0))
+
+    def slot_w(c, i0, t):
+        return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1, t, 0.0))
+
+    wy = [slot_w(b, y0, ty), slot_w(b + 1, y0, ty)]
+    wx = [slot_w(a, x0, tx), slot_w(a + 1, x0, tx)]
+    bp = b % 2
+    ap = a % 2
+    idx_q, w_q = [], []
+    for u in range(2):
+        iu = (u - bp) % 2
+        yy = b + iu
+        wyu = jnp.where(iu == 0, wy[0], wy[1])
+        for v in range(2):
+            jv = (v - ap) % 2
+            xx = a + jv
+            wxv = jnp.where(jv == 0, wx[0], wx[1])
+            idx_q.append((yy // 2) * Wh + xx // 2)
+            w_q.append(wyu * wxv * att)
+    return jnp.stack(idx_q), jnp.stack(w_q)
+
+
+def _digit_tables(value_l, H: int, W: int, LO: int, HI: int):
+    """(BM, H*W, D) -> (4, BM, HI*D, LO) digit-regrouped quadrant tables in
+    ONE transpose (the _quadrant_tables + regroup pair costs two full-table
+    relayout copies at 32-lane-minor tiling). Requires even H/W, LO a
+    multiple of Wh = W/2 and Hh divisible by LO/Wh; callers fall back to the
+    two-step path otherwise."""
+    BM, HW, D = value_l.shape
+    Hh, Wh = H // 2, W // 2
+    k = LO // Wh
+    tab = value_l.reshape(BM, HI, k, 2, Wh, 2, D)
+    tab = tab.transpose(3, 5, 0, 1, 6, 2, 4)   # (y2, x2, BM, HI, D, k, Wh)
+    return tab.reshape(4, BM, HI * D, LO)
+
+
+def _digit_pallas_call(idx, w, tabs, D: int, P: int, LO: int, HI: int,
+                       mm_dtype, out_dtype, interpret: bool):
+    """idx/w: (4, BM, P, Lq); tabs: (4, BM, HI*D, LO) -> (BM, Lq, D)."""
+    _, BM, _, Lq = idx.shape
+    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
+    pad = (-Lq) % TQ
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    Lqp = Lq + pad
+    out = pl.pallas_call(
+        functools.partial(_digit_kernel, P, TQ, LO, HI, D, mm_dtype),
+        grid=(BM, Lqp // TQ),
+        in_specs=[
+            pl.BlockSpec((4, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), jnp.float32),
+        interpret=interpret,
+    )(idx, w, tabs)
+    return out[:, :, :Lq]
+
+
+def ms_deform_attn_digit_flat_fwd(
+    value: jnp.ndarray,
+    offs_flat: jnp.ndarray,
+    attn_logits_flat: jnp.ndarray,
+    ref_T: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    n_heads: int,
+    n_points: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Digit-MSDA forward over FLAT module projections.
+
+    value: (B, S, M, D); offs_flat: (B, Lq, M*L*P*2) raw sampling-offset
+    projection; attn_logits_flat: (B, Lq, M*L*P) PRE-softmax attention
+    logits; ref_T: (B, L*2, Lq) reference points, (x, y) minor-paired per
+    level, queries on the lane axis.
+
+    Rationale: these are the natural (well-tiled) layouts of the module's
+    Dense outputs. The (B, Lq, M, L, P, 2) sampling_locations tensor of the
+    generic API tile-pads ~128x on TPU and, as a custom_vjp boundary value,
+    is forced into HBM at that layout — measured as the dominant MSDA
+    overhead at flagship shapes. Here the boundary carries the flat tensors
+    and ALL prep (normalization, softmax over L*P, quadrant packing) runs
+    queries-minor and fuses.
+    """
+    B, S, M, D = value.shape
+    L = len(spatial_shapes)
+    P = n_points
+    _, Lq, _ = offs_flat.shape
+    mm_dtype = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+
+    # (B, M, L, P, 2, Lq) / (B, M, L, P, Lq), queries-minor
+    offsT = offs_flat.transpose(0, 2, 1).reshape(B, M, L, P, 2, Lq)
+    offsT = offsT.astype(jnp.float32)
+    attnT = attn_logits_flat.transpose(0, 2, 1).reshape(B, M, L * P, Lq)
+    attnT = jax.nn.softmax(attnT.astype(jnp.float32), axis=2)
+    attnT = attnT.reshape(B, M, L, P, Lq)
+    refT = ref_T.astype(jnp.float32).reshape(B, L, 2, Lq)
+
+    out = jnp.zeros((B * M, D, Lq), jnp.float32)
+    offset = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        val = value[:, offset : offset + H * W]          # (B, HW, M, D)
+        offset += H * W
+        val = val.transpose(0, 2, 1, 3).reshape(B * M, H * W, D)
+        # absolute level-grid coords: (ref + off/wh) * WH - 0.5
+        #   = ref*W + off - 0.5 (offsets are in value-grid pixels)
+        rx = refT[:, lvl, 0][:, None, None, :]           # (B, 1, 1, Lq)
+        ry = refT[:, lvl, 1][:, None, None, :]
+        x = rx * W + offsT[:, :, lvl, :, 0] - 0.5
+        y = ry * H + offsT[:, :, lvl, :, 1] - 0.5
+        x = x.reshape(B * M, P, Lq)
+        y = y.reshape(B * M, P, Lq)
+        att = attnT[:, :, lvl].reshape(B * M, P, Lq)
+        idx, w = _prepare_quadrant_T(x, y, att, H, W)
+        HWq = ((H + 1) // 2) * ((W + 1) // 2)
+        LO = _digit_lo(HWq)
+        HI = -(-HWq // LO)
+        if (H % 2 == 0 and W % 2 == 0 and LO % (W // 2) == 0
+                and (H // 2) % (LO // (W // 2)) == 0 and LO * HI == HWq):
+            tabs = _digit_tables(val.astype(mm_dtype), H, W, LO, HI)
+        else:
+            tabs = _quadrant_tables(val.astype(mm_dtype), H, W)
+            if LO * HI != HWq:
+                tabs = jnp.pad(tabs, ((0, 0), (0, 0), (0, LO * HI - HWq),
+                                      (0, 0)))
+            tabs = tabs.reshape(4, B * M, HI, LO, D).transpose(0, 1, 2, 4, 3)
+            tabs = tabs.reshape(4, B * M, HI * D, LO)
+        out = out + _digit_pallas_call(idx, w, tabs, D, P, LO, HI, mm_dtype,
+                                       value.dtype, interpret)
+    # (BM, D, Lq) -> (B, Lq, M*D)
+    out = out.reshape(B, M, D, Lq).transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
+    return out.astype(value.dtype)
+
+
+def make_ms_deform_attn_flat(spatial_shapes: Sequence[Tuple[int, int]],
+                             n_heads: int, n_points: int,
+                             interpret: bool = False):
+    """custom_vjp MSDA over flat module projections (see
+    ms_deform_attn_digit_flat_fwd). Backward = autodiff of the XLA one-hot
+    formulation over the same flat inputs (gather-free col2im analogue)."""
+    return _make_ms_deform_attn_flat_cached(
+        tuple(tuple(s) for s in spatial_shapes), n_heads, n_points, interpret
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ms_deform_attn_flat_cached(shapes, n_heads, n_points, interpret):
+    from .msda import ms_deform_attn_onehot
+
+    L = len(shapes)
+    P = n_points
+    M = n_heads
+
+    def _xla_flat(value, offs_flat, attn_logits_flat, ref_T):
+        B, _, _, _ = value.shape
+        Lq = offs_flat.shape[1]
+        offs = offs_flat.reshape(B, Lq, M, L, P, 2).astype(jnp.float32)
+        attn = jax.nn.softmax(
+            attn_logits_flat.reshape(B, Lq, M, L * P).astype(jnp.float32),
+            axis=-1,
+        ).reshape(B, Lq, M, L, P)
+        ref = ref_T.reshape(B, L, 2, Lq).transpose(0, 3, 1, 2)
+        normalizer = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
+        loc = ref[:, :, None, :, None, :] + offs / normalizer[None, None,
+                                                              None, :, None]
+        return ms_deform_attn_onehot(value, shapes, loc,
+                                     attn.astype(value.dtype))
+
+    @jax.custom_vjp
+    def fn(value, offs_flat, attn_logits_flat, ref_T):
+        return ms_deform_attn_digit_flat_fwd(
+            value, offs_flat, attn_logits_flat, ref_T, shapes, M, P,
+            interpret=interpret,
+        )
+
+    def fwd(value, offs_flat, attn_logits_flat, ref_T):
+        return fn(value, offs_flat, attn_logits_flat, ref_T), (
+            value, offs_flat, attn_logits_flat, ref_T)
+
+    def bwd(res, g):
+        value, offs_flat, attn_logits_flat, ref_T = res
+        _, vjp = jax.vjp(_xla_flat, value, offs_flat, attn_logits_flat,
+                         ref_T)
+        dv, doffs, dattn, dref = vjp(g.astype(value.dtype))
+        return dv, doffs, dattn, dref
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 # ---------------------------------------------------------------------------

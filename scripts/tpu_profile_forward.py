@@ -43,7 +43,7 @@ print("traced", flush=True)
 # ---- parse xplane
 paths = glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True)
 print("xplane files:", paths, flush=True)
-from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa: E402
+from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 
 for p in paths:
     xs = xplane_pb2.XSpace()

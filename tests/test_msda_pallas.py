@@ -126,3 +126,54 @@ def test_onehot_variant_matches_xla_and_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_digit_flat_matches_xla_and_grads():
+    """Flat-projection digit entry (the module's TPU path): forward and
+    grads vs the generic XLA formulation reconstructed from the same flats
+    (reference ms_deform_attn.py:83-118 semantics: softmax over L*P,
+    per-level offset normalization)."""
+    import jax
+
+    from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn
+    from multimodal_sam_adapter_tpu.ops.msda_pallas import (
+        make_ms_deform_attn_flat,
+    )
+
+    key = jax.random.PRNGKey(3)
+    B, M, D, P = 2, 4, 8, 3
+    shapes = ((10, 14), (6, 8))
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    Lq = 37
+    ks = jax.random.split(key, 4)
+    value = jax.random.normal(ks[0], (B, S, M, D), jnp.float32)
+    offs = jax.random.normal(ks[1], (B, Lq, M * L * P * 2), jnp.float32) * 2
+    attn = jax.random.normal(ks[2], (B, Lq, M * L * P), jnp.float32)
+    ref = jax.random.uniform(ks[3], (B, Lq, L, 2), jnp.float32)
+    ref_T = ref.transpose(0, 2, 3, 1).reshape(B, L * 2, Lq)
+
+    fn = make_ms_deform_attn_flat(shapes, M, P, interpret=True)
+    normalizer = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
+
+    def oracle(v, o, a, r4):
+        offs6 = o.reshape(B, Lq, M, L, P, 2)
+        attn_sm = jax.nn.softmax(
+            a.reshape(B, Lq, M, L * P), -1
+        ).reshape(B, Lq, M, L, P)
+        loc = (r4[:, :, None, :, None, :]
+               + offs6 / normalizer[None, None, None, :, None, :])
+        return ms_deform_attn(v, shapes, loc, attn_sm)
+
+    got = fn(value, offs, attn, ref_T)
+    want = oracle(value, offs, attn, ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(lambda *a_: jnp.sum(fn(*a_) ** 2), (0, 1, 2))(
+        value, offs, attn, ref_T)
+    g2 = jax.grad(lambda *a_: jnp.sum(oracle(*a_) ** 2), (0, 1, 2))(
+        value, offs, attn, ref)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4)
