@@ -36,6 +36,9 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), img, train=False
     )
+    from multimodal_sam_adapter_tpu.utils.params import cast_inference_params
+
+    variables = cast_inference_params(variables)  # bf16 weight storage
 
     # variables/img threaded as args so they don't bake into the HLO.
     # Measurement = scan(2) - scan(1), min over repeats. Longer amortization

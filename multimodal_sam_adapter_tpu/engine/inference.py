@@ -24,8 +24,15 @@ from ..utils.interpolate import resize_bilinear
 class InferenceEngine:
     """Wraps a flax EncoderDecoder + variables into jitted inference fns."""
 
-    def __init__(self, model, variables, test_cfg: dict):
+    def __init__(self, model, variables, test_cfg: dict,
+                 cast_params: bool = True):
         self.model = model
+        if cast_params and getattr(model, "dtype", None) == jnp.bfloat16:
+            # bf16 weight storage for bf16 models: numerically identical
+            # (modules cast at use anyway), halves param HBM traffic
+            from ..utils.params import cast_inference_params
+
+            variables = cast_inference_params(variables)
         self.variables = variables
         self.test_cfg = dict(test_cfg)
         self._fns = {}

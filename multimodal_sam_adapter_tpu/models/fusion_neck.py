@@ -58,6 +58,35 @@ class GroupedConvDense(nn.Module):
         )
         cin_g = Cin // G
         cout_g = self.features // G
+        pad = [(self.padding, self.padding)] * 2
+        H, W = x.shape[1:3]
+        # at small spatial extents, a chunked expansion wins: split the
+        # block-diagonal into fgc chunks of K=288 output channels (multi-
+        # group blocks), cutting MACs by C/K while each chunk stays
+        # MXU-sized. Measured (tpu_neck_chunk_probe, v5e): 32x32 x 2304ch
+        # 3x3 G32: 0.36 ms chunked vs 0.79 dense; at >=64x64 dense wins.
+        K = 288
+        if (H * W <= 1024 and Cin == self.features and Cin % K == 0
+                and K % cin_g == 0 and Cin > K):
+            fgc = Cin // K
+            gpc = K // cin_g
+            krc = kernel.reshape(kh, kw, cin_g, fgc, gpc, cout_g)
+            eyec = jnp.eye(gpc, dtype=kernel.dtype)
+            kc = jnp.einsum("hwifxo,gx->hwgifxo", krc, eyec)
+            kc = kc.reshape(kh, kw, K, self.features)
+            if self.dtype is not None:
+                kc = kc.astype(self.dtype)
+                x = x.astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                x, kc, (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=fgc,
+            )
+            if self.use_bias:
+                out = out + self.param(
+                    "bias", nn.initializers.zeros, (self.features,)
+                ).astype(out.dtype)
+            return out
         # vectorized block-diagonal expansion: scatter each group's
         # (cin_g, cout_g) block onto the (Cin, Cout) diagonal
         kr = kernel.reshape(kh, kw, cin_g, G, cout_g)
@@ -67,7 +96,6 @@ class GroupedConvDense(nn.Module):
         if self.dtype is not None:
             dense = dense.astype(self.dtype)
             x = x.astype(self.dtype)
-        pad = [(self.padding, self.padding)] * 2
         out = jax.lax.conv_general_dilated(
             x, dense, (1, 1), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

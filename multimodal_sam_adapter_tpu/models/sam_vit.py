@@ -141,12 +141,17 @@ class ViTAttention(nn.Module):
                     q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
                 )
             elif impl == "win_fused":
-                from ..ops.window_attention import window_attention_fused
+                from ..ops.window_attention import window_attention_packed
 
                 assert H == W, "win_fused expects square windows"
-                out = window_attention_fused(
-                    q, k, v, rel_pos_h, rel_pos_w, H, scale
+                # packed (windows, N, C) output: feeds proj directly, no
+                # head-unfold transpose on the XLA side
+                out = window_attention_packed(
+                    q, k, v, rel_pos_h, rel_pos_w, H, scale,
+                    num_heads=self.num_heads,
                 )
+                out = out.reshape(B, H, W, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
             else:
                 out = attention_with_decomposed_rel_pos(
                     q, k, v, rel_pos_h, rel_pos_w, (H, W), scale

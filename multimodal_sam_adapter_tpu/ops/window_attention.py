@@ -98,6 +98,123 @@ def window_attention_fused_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
     return out
 
 
+def _win_kernel_packed(G: int, ws: int, d: int, scale: float,
+                       q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
+    """Same math as _win_kernel, but the G per-head outputs are written as
+    adjacent d-wide lane slices of ONE (N, G*d) block: the output tensor is
+    (windows, N, heads*d) — directly consumable by the proj matmul, killing
+    the head-unfold transpose/copy chain on the XLA side (~0.1 ms/block)."""
+    N = ws * ws
+    kh = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 0)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 1) // ws
+    e_h = (kh == kcol).astype(jnp.float32)  # (ws, N)
+    for g in range(G):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rh = rh_ref[g].astype(jnp.float32)
+        rw = rw_ref[g].astype(jnp.float32)
+        bias_h = jax.lax.dot_general(
+            rh, e_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_h + pltpu.repeat(rw, ws, axis=1)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, g * d:(g + 1) * d] = o.astype(o_ref.dtype)
+
+
+def window_attention_packed_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
+                                num_heads: int, group: int = 8,
+                                interpret: bool = False):
+    """q, k, v: (B, N, d) with B = windows*heads (head-minor); rel_h/rel_w:
+    (B, N, ws). Returns (windows, N, num_heads*d) packed output."""
+    B, N, d = q.shape
+    assert N == ws * ws and B % num_heads == 0
+    Wn = B // num_heads
+    G = group
+    while num_heads % G:
+        G -= 1
+    gpw = num_heads // G
+    out = pl.pallas_call(
+        functools.partial(_win_kernel_packed, G, ws, d, scale),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, G * d),
+                               lambda b: (b // gpw, 0, b % gpw),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wn, N, num_heads * d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_window_attn_packed(ws, scale, num_heads, group, interpret):
+    from .attention import attention_with_decomposed_rel_pos
+
+    @jax.custom_vjp
+    def fn(q, k, v, rph, rpw):
+        rel_h, rel_w = rel_pos_bias_terms(q, rph, rpw, (ws, ws), (ws, ws))
+        B, N, _ = q.shape
+        rel_h = rel_h.reshape(B, N, ws)
+        rel_w = rel_w.reshape(B, N, ws)
+        return window_attention_packed_fwd(
+            q, k, v, rel_h, rel_w, ws, scale, num_heads, group=group,
+            interpret=interpret,
+        )
+
+    def fwd(q, k, v, rph, rpw):
+        return fn(q, k, v, rph, rpw), (q, k, v, rph, rpw)
+
+    def bwd(res, g):
+        q, k, v, rph, rpw = res
+        B, N, d = q.shape
+
+        def ref(q_, k_, v_, rph_, rpw_):
+            o = attention_with_decomposed_rel_pos(
+                q_, k_, v_, rph_, rpw_, (ws, ws), scale
+            )  # (B, N, d), head-minor in B
+            o = o.reshape(B // num_heads, num_heads, N, d)
+            return o.transpose(0, 2, 1, 3).reshape(
+                B // num_heads, N, num_heads * d)
+
+        _, vjp = jax.vjp(ref, q, k, v, rph, rpw)
+        return vjp(g.astype(q.dtype))
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def window_attention_packed(q, k, v, rel_pos_h, rel_pos_w, ws: int,
+                            scale: float, num_heads: int, group: int = 8,
+                            interpret: bool = False):
+    """Differentiable fused window attention with packed (windows, N, C)
+    output: Pallas forward, dense XLA VJP."""
+    return _make_diff_window_attn_packed(
+        ws, float(scale), num_heads, group, interpret
+    )(q, k, v, rel_pos_h, rel_pos_w)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_diff_window_attn(ws, scale, group, interpret):
     from .attention import attention_with_decomposed_rel_pos

@@ -60,3 +60,42 @@ def test_fused_window_attn_grads_match_dense():
     for a, b in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("ws,windows,heads,group", [(7, 3, 4, 2),
+                                                    (14, 2, 16, 8)])
+def test_packed_window_attn_matches_dense(ws, windows, heads, group):
+    """Packed-output variant (the sam_vit win_fused path): per-head results
+    land as head-major lane slices of (windows, N, heads*d)."""
+    from multimodal_sam_adapter_tpu.ops.window_attention import (
+        window_attention_packed,
+    )
+
+    d = 32
+    B = windows * heads
+    q, k, v, rph, rpw = _inputs(ws, B, d, seed=3)
+    scale = d ** -0.5
+    want = np.asarray(attention_with_decomposed_rel_pos(
+        q, k, v, rph, rpw, (ws, ws), scale))
+    want = want.reshape(windows, heads, ws * ws, d).transpose(0, 2, 1, 3)
+    want = want.reshape(windows, ws * ws, heads * d)
+    got = np.asarray(window_attention_packed(
+        q, k, v, rph, rpw, ws, scale, num_heads=heads, group=group,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_packed(q, k, v, rph, rpw):
+        return jnp.sum(window_attention_packed(
+            q, k, v, rph, rpw, ws, scale, num_heads=heads, group=group,
+            interpret=True) ** 2)
+
+    def loss_dense(q, k, v, rph, rpw):
+        o = attention_with_decomposed_rel_pos(q, k, v, rph, rpw, (ws, ws),
+                                              scale)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_packed, (0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    g2 = jax.grad(loss_dense, (0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
