@@ -27,15 +27,24 @@ class InferenceEngine:
     def __init__(self, model, variables, test_cfg: dict,
                  cast_params: bool = True):
         self.model = model
-        if cast_params and getattr(model, "dtype", None) == jnp.bfloat16:
-            # bf16 weight storage for bf16 models: numerically identical
-            # (modules cast at use anyway), halves param HBM traffic
-            from ..utils.params import cast_inference_params
-
-            variables = cast_inference_params(variables)
+        # bf16 weight storage for bf16 models: numerically identical
+        # (modules cast at use anyway), halves param HBM traffic
+        self._cast = cast_params and getattr(model, "dtype", None) == jnp.bfloat16
         self.variables = variables
         self.test_cfg = dict(test_cfg)
         self._fns = {}
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, variables):
+        if self._cast and variables is not None:
+            from ..utils.params import cast_inference_params
+
+            variables = cast_inference_params(variables)
+        self._variables = variables
 
     # -- core: logits at input resolution for one static shape
     def _encode_decode(self, shape: Tuple[int, ...]):
