@@ -53,13 +53,18 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)          # (Tq, d)
-    k = k_ref[0].astype(jnp.float32)          # (Tk, d)
+    # QK^T on NATIVE-dtype operands (bf16 at runtime): an f32 MXU dot runs
+    # at a fraction of the bf16 rate; accumulation stays f32 and the scale
+    # is applied to the f32 product (exact), so only the operand rounding
+    # differs — standard flash practice. (f32 inputs stay f32: parity
+    # tests are bit-comparable.)
+    q = q_ref[0]                               # (Tq, d)
+    k = k_ref[0]                               # (Tk, d)
     v = v_ref[0]                               # (Tk, d)
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Tq, Tk)
+    ) * scale  # (Tq, Tk) f32
 
     # decomposed rel-pos bias for this key tile: the tile covers grid rows
     # [kt*R, kt*R+R), all kw columns each. Mosaic forbids dynamic lane
@@ -125,7 +130,7 @@ def flash_attention_rel_pos(
     q_hw: Tuple[int, int],
     scale: float,
     block_q: int = 512,
-    block_k_rows: int = 16,
+    block_k_rows: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.attention_with_decomposed_rel_pos
@@ -268,7 +273,7 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
 
 
 def flash_attention_rel_pos_diff(q, k, v, rph, rpw, q_hw, scale,
-                                 block_q: int = 512, block_k_rows: int = 16,
+                                 block_q: int = 512, block_k_rows: int = 32,
                                  interpret: bool = False):
     """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
     (one block's dense attention at a time under the stage remat)."""

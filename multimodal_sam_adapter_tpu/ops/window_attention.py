@@ -43,12 +43,12 @@ def _win_kernel(G: int, ws: int, scale: float,
     kcol = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 1) // ws
     e_h = (kh == kcol).astype(jnp.float32)  # (ws, N)
     for g in range(G):
-        q = q_ref[g].astype(jnp.float32)
-        k = k_ref[g].astype(jnp.float32)
+        # native-dtype QK^T (f32 MXU dots run at a fraction of bf16 rate);
+        # f32 accumulate, scale applied to the f32 product
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
+            q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (N, N)
+        ) * scale  # (N, N)
         rh = rh_ref[g].astype(jnp.float32)           # (N, ws)
         rw = rw_ref[g].astype(jnp.float32)           # (N, ws)
         bias_h = jax.lax.dot_general(
@@ -109,12 +109,12 @@ def _win_kernel_packed(G: int, ws: int, d: int, scale: float,
     kcol = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 1) // ws
     e_h = (kh == kcol).astype(jnp.float32)  # (ws, N)
     for g in range(G):
-        q = q_ref[g].astype(jnp.float32)
-        k = k_ref[g].astype(jnp.float32)
+        # native-dtype QK^T (f32 MXU dots run at a fraction of bf16 rate);
+        # f32 accumulate, scale applied to the f32 product
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
+            q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         rh = rh_ref[g].astype(jnp.float32)
         rw = rw_ref[g].astype(jnp.float32)
         bias_h = jax.lax.dot_general(
