@@ -41,13 +41,11 @@ def main():
     variables = cast_inference_params(variables)  # bf16 weight storage
 
     # variables/img threaded as args so they don't bake into the HLO.
-    # Measurement = scan(2) - scan(1), min over repeats. Longer amortization
-    # is not available in this environment (2026-08): the flagship forward in
-    # any program bigger than a 2x-unrolled scan — scan length >= 3 (HLO
-    # while), 5x unroll, or batch 5 — crashes the TPU worker
-    # (scripts/tpu_crash_bisect.py chronicles the bisect; scan lengths 1 and
-    # 2 auto-unroll and run fine, as do the standalone kernels). min-of-N
-    # suppresses the tunnel's host-sync jitter.
+    # Measurement = (scan(9) - scan(1)) / 8, min over repeats — pure device
+    # time, host-sync jitter amortized 8x. (Earlier rounds were limited to
+    # scan(2)-scan(1): a 2026-08 libtpu regression crashed the worker on any
+    # scan length >= 3 — scripts/tpu_crash_bisect.py — re-verified FIXED on
+    # 2026-08-18.) min-of-N suppresses the tunnel's host-sync jitter.
     def make_fn(n):
         @jax.jit
         def fn(variables, img):
@@ -59,7 +57,7 @@ def main():
         return fn
 
     times = {}
-    for n in (1, 2):
+    for n in (1, 9):
         fn = make_fn(n)
         float(fn(variables, img))  # compile + sync
         best = float("inf")
@@ -68,7 +66,7 @@ def main():
             float(fn(variables, img))
             best = min(best, time.perf_counter() - t0)
         times[n] = best
-    per_img = times[2] - times[1]
+    per_img = (times[9] - times[1]) / 8
     rec = {
         "metric": "flagship_1024_infer_images_per_sec_per_chip",
         "unit": "img/s",

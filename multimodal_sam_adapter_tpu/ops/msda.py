@@ -352,8 +352,8 @@ class MSDeformAttention(nn.Module):
         S = input_flatten.shape[1]
         d_value = int(self.d_model * self.ratio)
 
-        value = nn.Dense(d_value, dtype=self.dtype, name="value_proj")(input_flatten)
-        value = value.reshape(B, S, self.n_heads, d_value // self.n_heads)
+        value_flat = nn.Dense(d_value, dtype=self.dtype,
+                              name="value_proj")(input_flatten)
 
         offs_flat = nn.Dense(
             self.n_heads * self.n_levels * self.n_points * 2,
@@ -406,10 +406,13 @@ class MSDeformAttention(nn.Module):
             )
             out = make_ms_deform_attn_flat(
                 tuple(spatial_shapes), self.n_heads, self.n_points
-            )(value, offs_flat, attn_logits, ref_T)
+            )(value_flat, offs_flat, attn_logits, ref_T)
             return nn.Dense(self.d_model, dtype=self.dtype,
                             name="output_proj")(out)
 
+        value = value_flat.reshape(
+            B, S, self.n_heads, d_value // self.n_heads
+        )
         offs = offs_flat.reshape(
             B, Lq, self.n_heads, self.n_levels, self.n_points, 2
         )

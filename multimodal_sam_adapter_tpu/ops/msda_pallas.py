@@ -483,6 +483,18 @@ def _digit_tables(value_l, H: int, W: int, LO: int, HI: int):
     return tab.reshape(4, BM, HI * D, LO)
 
 
+def _digit_tables_flat(val_flat, B: int, H: int, W: int, M: int, D: int,
+                       LO: int, HI: int):
+    """(B, H*W, M*D) channel-flat value -> (4, BM, HI*D, LO) digit tables in
+    ONE transpose, never materializing the 4x-lane-padded (B, S, M, D)
+    layout. Same divisibility conditions as _digit_tables."""
+    Wh = W // 2
+    k = LO // Wh
+    tab = val_flat.reshape(B, HI, k, 2, Wh, 2, M, D)
+    tab = tab.transpose(3, 5, 0, 6, 1, 7, 2, 4)  # (y2,x2,B,M,HI,D,k,Wh)
+    return tab.reshape(4, B * M, HI * D, LO)
+
+
 def _digit_pallas_call(idx, w, tabs, D: int, P: int, LO: int, HI: int,
                        mm_dtype, out_dtype, interpret: bool):
     """idx/w: (4, BM, P, Lq); tabs: (4, BM, HI*D, LO) -> (BM, Lq, D)."""
@@ -513,7 +525,7 @@ def _digit_pallas_call(idx, w, tabs, D: int, P: int, LO: int, HI: int,
 
 
 def ms_deform_attn_digit_flat_fwd(
-    value: jnp.ndarray,
+    value_flat: jnp.ndarray,
     offs_flat: jnp.ndarray,
     attn_logits_flat: jnp.ndarray,
     ref_T: jnp.ndarray,
@@ -524,7 +536,9 @@ def ms_deform_attn_digit_flat_fwd(
 ) -> jnp.ndarray:
     """Digit-MSDA forward over FLAT module projections.
 
-    value: (B, S, M, D); offs_flat: (B, Lq, M*L*P*2) raw sampling-offset
+    value_flat: (B, S, M*D) channel-flat value projection (the (B, S, M, D)
+    layout lane-pads 4x at (16, 32) minor dims and, as a boundary tensor,
+    costs ~90 MB of padded HBM per call); offs_flat: (B, Lq, M*L*P*2) raw sampling-offset
     projection; attn_logits_flat: (B, Lq, M*L*P) PRE-softmax attention
     logits; ref_T: (B, L*2, Lq) reference points, (x, y) minor-paired per
     level, queries on the lane axis.
@@ -537,11 +551,14 @@ def ms_deform_attn_digit_flat_fwd(
     and ALL prep (normalization, softmax over L*P, quadrant packing) runs
     queries-minor and fuses.
     """
-    B, S, M, D = value.shape
+    B, S, MD = value_flat.shape
+    M = n_heads
+    D = MD // M
     L = len(spatial_shapes)
     P = n_points
     _, Lq, _ = offs_flat.shape
-    mm_dtype = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+    mm_dtype = (jnp.bfloat16 if value_flat.dtype == jnp.bfloat16
+                else jnp.float32)
 
     # (B, M, L, P, 2, Lq) / (B, M, L, P, Lq), queries-minor
     offsT = offs_flat.transpose(0, 2, 1).reshape(B, M, L, P, 2, Lq)
@@ -554,9 +571,8 @@ def ms_deform_attn_digit_flat_fwd(
     out = jnp.zeros((B * M, D, Lq), jnp.float32)
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
-        val = value[:, offset : offset + H * W]          # (B, HW, M, D)
+        val2 = value_flat[:, offset : offset + H * W]    # (B, HW, M*D)
         offset += H * W
-        val = val.transpose(0, 2, 1, 3).reshape(B * M, H * W, D)
         # absolute level-grid coords: (ref + off/wh) * WH - 0.5
         #   = ref*W + off - 0.5 (offsets are in value-grid pixels)
         rx = refT[:, lvl, 0][:, None, None, :]           # (B, 1, 1, Lq)
@@ -570,6 +586,12 @@ def ms_deform_attn_digit_flat_fwd(
         HWq = ((H + 1) // 2) * ((W + 1) // 2)
         LO = _digit_lo(HWq)
         HI = -(-HWq // LO)
+        # NB: an 8-D single-transpose table build straight from the flat
+        # layout measured ~7 ms SLOWER end-to-end than this two-step path
+        # (XLA lowers the gnarly permutation poorly); only the BOUNDARY
+        # stays flat
+        val = val2.reshape(B, H * W, M, D)
+        val = val.transpose(0, 2, 1, 3).reshape(B * M, H * W, D)
         if (H % 2 == 0 and W % 2 == 0 and LO % (W // 2) == 0
                 and (H // 2) % (LO // (W // 2)) == 0 and LO * HI == HWq):
             tabs = _digit_tables(val.astype(mm_dtype), H, W, LO, HI)
@@ -581,10 +603,10 @@ def ms_deform_attn_digit_flat_fwd(
             tabs = tabs.reshape(4, B * M, HI, LO, D).transpose(0, 1, 2, 4, 3)
             tabs = tabs.reshape(4, B * M, HI * D, LO)
         out = out + _digit_pallas_call(idx, w, tabs, D, P, LO, HI, mm_dtype,
-                                       value.dtype, interpret)
+                                       value_flat.dtype, interpret)
     # (BM, D, Lq) -> (B, Lq, M*D)
     out = out.reshape(B, M, D, Lq).transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
-    return out.astype(value.dtype)
+    return out.astype(value_flat.dtype)
 
 
 def make_ms_deform_attn_flat(spatial_shapes: Sequence[Tuple[int, int]],
@@ -606,8 +628,9 @@ def _make_ms_deform_attn_flat_cached(shapes, n_heads, n_points, interpret):
     P = n_points
     M = n_heads
 
-    def _xla_flat(value, offs_flat, attn_logits_flat, ref_T):
-        B, _, _, _ = value.shape
+    def _xla_flat(value_flat, offs_flat, attn_logits_flat, ref_T):
+        B, S, MD = value_flat.shape
+        value = value_flat.reshape(B, S, M, MD // M)
         Lq = offs_flat.shape[1]
         offs = offs_flat.reshape(B, Lq, M, L, P, 2).astype(jnp.float32)
         attn = jax.nn.softmax(
@@ -622,21 +645,21 @@ def _make_ms_deform_attn_flat_cached(shapes, n_heads, n_points, interpret):
                                      attn.astype(value.dtype))
 
     @jax.custom_vjp
-    def fn(value, offs_flat, attn_logits_flat, ref_T):
+    def fn(value_flat, offs_flat, attn_logits_flat, ref_T):
         return ms_deform_attn_digit_flat_fwd(
-            value, offs_flat, attn_logits_flat, ref_T, shapes, M, P,
+            value_flat, offs_flat, attn_logits_flat, ref_T, shapes, M, P,
             interpret=interpret,
         )
 
-    def fwd(value, offs_flat, attn_logits_flat, ref_T):
-        return fn(value, offs_flat, attn_logits_flat, ref_T), (
-            value, offs_flat, attn_logits_flat, ref_T)
+    def fwd(value_flat, offs_flat, attn_logits_flat, ref_T):
+        return fn(value_flat, offs_flat, attn_logits_flat, ref_T), (
+            value_flat, offs_flat, attn_logits_flat, ref_T)
 
     def bwd(res, g):
-        value, offs_flat, attn_logits_flat, ref_T = res
-        _, vjp = jax.vjp(_xla_flat, value, offs_flat, attn_logits_flat,
-                         ref_T)
-        dv, doffs, dattn, dref = vjp(g.astype(value.dtype))
+        value_flat, offs_flat, attn_logits_flat, ref_T = res
+        _, vjp = jax.vjp(_xla_flat, value_flat, offs_flat,
+                         attn_logits_flat, ref_T)
+        dv, doffs, dattn, dref = vjp(g.astype(value_flat.dtype))
         return dv, doffs, dattn, dref
 
     fn.defvjp(fwd, bwd)

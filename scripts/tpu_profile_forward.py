@@ -21,6 +21,9 @@ model = _flagship_model(dtype=jnp.bfloat16)
 img = jax.random.normal(key, (1, 1024, 1024, 6), jnp.bfloat16)
 variables = jax.jit(model.init, static_argnames=("train",))(key, img,
                                                             train=False)
+from multimodal_sam_adapter_tpu.utils.params import cast_inference_params
+
+variables = cast_inference_params(variables)
 
 
 @jax.jit

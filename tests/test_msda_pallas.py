@@ -147,7 +147,7 @@ def test_digit_flat_matches_xla_and_grads():
     S = sum(h * w for h, w in shapes)
     Lq = 37
     ks = jax.random.split(key, 4)
-    value = jax.random.normal(ks[0], (B, S, M, D), jnp.float32)
+    value_flat = jax.random.normal(ks[0], (B, S, M * D), jnp.float32)
     offs = jax.random.normal(ks[1], (B, Lq, M * L * P * 2), jnp.float32) * 2
     attn = jax.random.normal(ks[2], (B, Lq, M * L * P), jnp.float32)
     ref = jax.random.uniform(ks[3], (B, Lq, L, 2), jnp.float32)
@@ -156,7 +156,8 @@ def test_digit_flat_matches_xla_and_grads():
     fn = make_ms_deform_attn_flat(shapes, M, P, interpret=True)
     normalizer = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
 
-    def oracle(v, o, a, r4):
+    def oracle(vf, o, a, r4):
+        v = vf.reshape(B, S, M, D)
         offs6 = o.reshape(B, Lq, M, L, P, 2)
         attn_sm = jax.nn.softmax(
             a.reshape(B, Lq, M, L * P), -1
@@ -165,15 +166,15 @@ def test_digit_flat_matches_xla_and_grads():
                + offs6 / normalizer[None, None, None, :, None, :])
         return ms_deform_attn(v, shapes, loc, attn_sm)
 
-    got = fn(value, offs, attn, ref_T)
-    want = oracle(value, offs, attn, ref)
+    got = fn(value_flat, offs, attn, ref_T)
+    want = oracle(value_flat, offs, attn, ref)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
 
     g1 = jax.grad(lambda *a_: jnp.sum(fn(*a_) ** 2), (0, 1, 2))(
-        value, offs, attn, ref_T)
+        value_flat, offs, attn, ref_T)
     g2 = jax.grad(lambda *a_: jnp.sum(oracle(*a_) ** 2), (0, 1, 2))(
-        value, offs, attn, ref)
+        value_flat, offs, attn, ref)
     for a_, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=2e-4, rtol=1e-4)
