@@ -400,9 +400,10 @@ class MSDeformAttention(nn.Module):
             # tensor tile-pads ~128x on TPU; the flat projections don't
             from .msda_pallas import make_ms_deform_attn_flat
 
+            # reference points may be batch-broadcast (leading dim 1)
             ref_T = reference_points.astype(jnp.float32)
             ref_T = ref_T.transpose(0, 2, 3, 1).reshape(
-                B, self.n_levels * 2, Lq
+                ref_T.shape[0], self.n_levels * 2, Lq
             )
             out = make_ms_deform_attn_flat(
                 tuple(spatial_shapes), self.n_heads, self.n_points

@@ -566,7 +566,7 @@ def ms_deform_attn_digit_flat_fwd(
     attnT = attn_logits_flat.transpose(0, 2, 1).reshape(B, M, L * P, Lq)
     attnT = jax.nn.softmax(attnT.astype(jnp.float32), axis=2)
     attnT = attnT.reshape(B, M, L, P, Lq)
-    refT = ref_T.astype(jnp.float32).reshape(B, L, 2, Lq)
+    refT = ref_T.astype(jnp.float32).reshape(ref_T.shape[0], L, 2, Lq)
 
     out = jnp.zeros((B * M, D, Lq), jnp.float32)
     offset = 0
@@ -632,12 +632,13 @@ def _make_ms_deform_attn_flat_cached(shapes, n_heads, n_points, interpret):
         B, S, MD = value_flat.shape
         value = value_flat.reshape(B, S, M, MD // M)
         Lq = offs_flat.shape[1]
+        Br = ref_T.shape[0]
         offs = offs_flat.reshape(B, Lq, M, L, P, 2).astype(jnp.float32)
         attn = jax.nn.softmax(
             attn_logits_flat.reshape(B, Lq, M, L * P).astype(jnp.float32),
             axis=-1,
         ).reshape(B, Lq, M, L, P)
-        ref = ref_T.reshape(B, L, 2, Lq).transpose(0, 3, 1, 2)
+        ref = ref_T.reshape(Br, L, 2, Lq).transpose(0, 3, 1, 2)
         normalizer = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
         loc = ref[:, :, None, :, None, :] + offs / normalizer[None, None,
                                                               None, :, None]

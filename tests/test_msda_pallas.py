@@ -178,3 +178,40 @@ def test_digit_flat_matches_xla_and_grads():
     for a_, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_digit_flat_batch_broadcast_refpoints():
+    """B>1 with batch-1 (broadcast) reference points — the adapter generates
+    ref grids once and broadcasts; the flat path must not bake batch=1
+    (regression: B=2 eval crashed on the ref_T reshape)."""
+    import jax
+
+    from multimodal_sam_adapter_tpu.ops.msda import ms_deform_attn
+    from multimodal_sam_adapter_tpu.ops.msda_pallas import (
+        make_ms_deform_attn_flat,
+    )
+
+    key = jax.random.PRNGKey(5)
+    B, M, D, P = 3, 2, 8, 2
+    shapes = ((8, 8),)
+    S, Lq, L = 64, 21, 1
+    ks = jax.random.split(key, 4)
+    vflat = jax.random.normal(ks[0], (B, S, M * D), jnp.float32)
+    offs = jax.random.normal(ks[1], (B, Lq, M * L * P * 2), jnp.float32)
+    attn = jax.random.normal(ks[2], (B, Lq, M * L * P), jnp.float32)
+    ref1 = jax.random.uniform(ks[3], (1, Lq, L, 2), jnp.float32)
+    ref_T = ref1.transpose(0, 2, 3, 1).reshape(1, L * 2, Lq)
+
+    fn = make_ms_deform_attn_flat(shapes, M, P, interpret=True)
+    got = fn(vflat, offs, attn, ref_T)
+
+    value = vflat.reshape(B, S, M, D)
+    offs6 = offs.reshape(B, Lq, M, L, P, 2)
+    attn_sm = jax.nn.softmax(attn.reshape(B, Lq, M, L * P), -1)
+    attn_sm = attn_sm.reshape(B, Lq, M, L, P)
+    nm = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
+    loc = (ref1[:, :, None, :, None, :]
+           + offs6 / nm[None, None, None, :, None, :])
+    want = ms_deform_attn(value, shapes, loc, attn_sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
