@@ -121,6 +121,26 @@ class ViTAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
+        if impl == "win_fused" and self.use_rel_pos:
+            from ..ops.window_attention import window_attention_packed
+
+            assert H == W, "win_fused expects square windows"
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            # packed (windows, N, C) output feeds proj directly; the whole
+            # (3, B*heads, N, d) array enters the kernel unsliced
+            out = window_attention_packed(
+                qkv, rel_pos_h, rel_pos_w, H, scale,
+                num_heads=self.num_heads,
+            )
+            out = out.reshape(B, H, W, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         if self.use_rel_pos:
@@ -140,18 +160,6 @@ class ViTAttention(nn.Module):
                 out = flash_attention_rel_pos_diff(
                     q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
                 )
-            elif impl == "win_fused":
-                from ..ops.window_attention import window_attention_packed
-
-                assert H == W, "win_fused expects square windows"
-                # packed (windows, N, C) output: feeds proj directly, no
-                # head-unfold transpose on the XLA side
-                out = window_attention_packed(
-                    q, k, v, rel_pos_h, rel_pos_w, H, scale,
-                    num_heads=self.num_heads,
-                )
-                out = out.reshape(B, H, W, self.dim)
-                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
             else:
                 out = attention_with_decomposed_rel_pos(
                     q, k, v, rel_pos_h, rel_pos_w, (H, W), scale

@@ -604,9 +604,11 @@ def ms_deform_attn_digit_flat_fwd(
             tabs = tabs.reshape(4, B * M, HI * D, LO)
         out = out + _digit_pallas_call(idx, w, tabs, D, P, LO, HI, mm_dtype,
                                        value_flat.dtype, interpret)
+    # cast BEFORE the big output transpose: halves its HBM traffic
+    out = out.astype(value_flat.dtype)
     # (BM, D, Lq) -> (B, Lq, M*D)
     out = out.reshape(B, M, D, Lq).transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
-    return out.astype(value_flat.dtype)
+    return out
 
 
 def make_ms_deform_attn_flat(spatial_shapes: Sequence[Tuple[int, int]],

@@ -99,7 +99,7 @@ def window_attention_fused_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
 
 
 def _win_kernel_packed(G: int, ws: int, d: int, scale: float,
-                       q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref):
+                       qkv_ref, rh_ref, rw_ref, o_ref):
     """Same math as _win_kernel, but the G per-head outputs are written as
     adjacent d-wide lane slices of ONE (N, G*d) block: the output tensor is
     (windows, N, heads*d) — directly consumable by the proj matmul, killing
@@ -112,7 +112,7 @@ def _win_kernel_packed(G: int, ws: int, d: int, scale: float,
         # native-dtype QK^T (f32 MXU dots run at a fraction of bf16 rate);
         # f32 accumulate, scale applied to the f32 product
         s = jax.lax.dot_general(
-            q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
+            qkv_ref[0, g], qkv_ref[1, g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         rh = rh_ref[g].astype(jnp.float32)
@@ -126,18 +126,19 @@ def _win_kernel_packed(G: int, ws: int, d: int, scale: float,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[g], (((1,), (0,)), ((), ())),
+            p.astype(qkv_ref.dtype), qkv_ref[2, g], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, g * d:(g + 1) * d] = o.astype(o_ref.dtype)
 
 
-def window_attention_packed_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
+def window_attention_packed_fwd(qkvt, rel_h, rel_w, ws: int, scale: float,
                                 num_heads: int, group: int = 8,
                                 interpret: bool = False):
-    """q, k, v: (B, N, d) with B = windows*heads (head-minor); rel_h/rel_w:
+    """qkvt: (3, B, N, d) with B = windows*heads (head-minor) — ONE array so
+    the caller's q/k/v lane-slices never materialize; rel_h/rel_w:
     (B, N, ws). Returns (windows, N, num_heads*d) packed output."""
-    B, N, d = q.shape
+    _, B, N, d = qkvt.shape
     assert N == ws * ws and B % num_heads == 0
     Wn = B // num_heads
     G = group
@@ -148,11 +149,7 @@ def window_attention_packed_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
         functools.partial(_win_kernel_packed, G, ws, d, scale),
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((3, G, N, d), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -162,9 +159,9 @@ def window_attention_packed_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
         out_specs=pl.BlockSpec((1, N, G * d),
                                lambda b: (b // gpw, 0, b % gpw),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Wn, N, num_heads * d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Wn, N, num_heads * d), qkvt.dtype),
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w)
+    )(qkvt, rel_h, rel_w)
     return out
 
 
@@ -173,46 +170,47 @@ def _make_diff_window_attn_packed(ws, scale, num_heads, group, interpret):
     from .attention import attention_with_decomposed_rel_pos
 
     @jax.custom_vjp
-    def fn(q, k, v, rph, rpw):
-        rel_h, rel_w = rel_pos_bias_terms(q, rph, rpw, (ws, ws), (ws, ws))
-        B, N, _ = q.shape
+    def fn(qkvt, rph, rpw):
+        _, B, N, _ = qkvt.shape
+        rel_h, rel_w = rel_pos_bias_terms(qkvt[0], rph, rpw, (ws, ws),
+                                          (ws, ws))
         rel_h = rel_h.reshape(B, N, ws)
         rel_w = rel_w.reshape(B, N, ws)
         return window_attention_packed_fwd(
-            q, k, v, rel_h, rel_w, ws, scale, num_heads, group=group,
+            qkvt, rel_h, rel_w, ws, scale, num_heads, group=group,
             interpret=interpret,
         )
 
-    def fwd(q, k, v, rph, rpw):
-        return fn(q, k, v, rph, rpw), (q, k, v, rph, rpw)
+    def fwd(qkvt, rph, rpw):
+        return fn(qkvt, rph, rpw), (qkvt, rph, rpw)
 
     def bwd(res, g):
-        q, k, v, rph, rpw = res
-        B, N, d = q.shape
+        qkvt, rph, rpw = res
+        _, B, N, d = qkvt.shape
 
-        def ref(q_, k_, v_, rph_, rpw_):
+        def ref(qkvt_, rph_, rpw_):
             o = attention_with_decomposed_rel_pos(
-                q_, k_, v_, rph_, rpw_, (ws, ws), scale
+                qkvt_[0], qkvt_[1], qkvt_[2], rph_, rpw_, (ws, ws), scale
             )  # (B, N, d), head-minor in B
             o = o.reshape(B // num_heads, num_heads, N, d)
             return o.transpose(0, 2, 1, 3).reshape(
                 B // num_heads, N, num_heads * d)
 
-        _, vjp = jax.vjp(ref, q, k, v, rph, rpw)
-        return vjp(g.astype(q.dtype))
+        _, vjp = jax.vjp(ref, qkvt, rph, rpw)
+        return vjp(g.astype(qkvt.dtype))
 
     fn.defvjp(fwd, bwd)
     return fn
 
 
-def window_attention_packed(q, k, v, rel_pos_h, rel_pos_w, ws: int,
+def window_attention_packed(qkvt, rel_pos_h, rel_pos_w, ws: int,
                             scale: float, num_heads: int, group: int = 8,
                             interpret: bool = False):
     """Differentiable fused window attention with packed (windows, N, C)
-    output: Pallas forward, dense XLA VJP."""
+    output: Pallas forward, dense XLA VJP. qkvt: (3, windows*heads, N, d)."""
     return _make_diff_window_attn_packed(
         ws, float(scale), num_heads, group, interpret
-    )(q, k, v, rel_pos_h, rel_pos_w)
+    )(qkvt, rel_pos_h, rel_pos_w)
 
 
 @functools.lru_cache(maxsize=None)

@@ -79,15 +79,16 @@ def test_packed_window_attn_matches_dense(ws, windows, heads, group):
         q, k, v, rph, rpw, (ws, ws), scale))
     want = want.reshape(windows, heads, ws * ws, d).transpose(0, 2, 1, 3)
     want = want.reshape(windows, ws * ws, heads * d)
+    qkvt = jnp.stack([q, k, v])
     got = np.asarray(window_attention_packed(
-        q, k, v, rph, rpw, ws, scale, num_heads=heads, group=group,
+        qkvt, rph, rpw, ws, scale, num_heads=heads, group=group,
         interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
     def loss_packed(q, k, v, rph, rpw):
         return jnp.sum(window_attention_packed(
-            q, k, v, rph, rpw, ws, scale, num_heads=heads, group=group,
-            interpret=True) ** 2)
+            jnp.stack([q, k, v]), rph, rpw, ws, scale, num_heads=heads,
+            group=group, interpret=True) ** 2)
 
     def loss_dense(q, k, v, rph, rpw):
         o = attention_with_decomposed_rel_pos(q, k, v, rph, rpw, (ws, ws),
