@@ -230,3 +230,32 @@ def test_twin_convnext_freeze_mask():
     assert tx2["down_conv1"]["kernel"] == 0.0
     assert tx2["down_norm1"]["scale"] == 0.0
     assert tx2["stage1_block0"]["w"] == 0.0
+
+
+@pytest.mark.slow
+def test_tiny_model_overfits_one_batch():
+    """End-to-end learning evidence: the full training step (loss -> grads
+    -> layer-decay AdamW) overfits a single random batch — loss drops
+    substantially and the predicted mask starts matching the labels.
+    Mirrors the reference's de-facto integration criterion (training
+    converges) without datasets."""
+    model = EncoderDecoder(num_classes=5, head_channels=16,
+                           backbone_cfg=TINY_BACKBONE)
+    state = init_train_state(
+        model, (1, 64, 64, 6), jax.random.PRNGKey(1),
+        optimizer_kwargs=dict(steps_per_epoch=30, max_epochs=1,
+                              warmup_epochs=0, base_lr=4e-3),
+    )
+    step = make_train_step(model, ohem_min_kept=4096, donate=False)
+    rng = jax.random.PRNGKey(2)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 6))
+    # learnable structure: class = quadrant index (deterministic fn of pos)
+    yy, xx = np.mgrid[0:64, 0:64]
+    gt = jnp.asarray((yy // 32) * 2 + (xx // 32), jnp.int32)[None]
+    batch = {"img": img, "gt": gt}
+    losses = []
+    for i in range(30):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.6 * losses[0], losses
