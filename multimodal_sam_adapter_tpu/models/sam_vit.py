@@ -157,8 +157,9 @@ class ViTAttention(nn.Module):
             if impl == "flash":
                 from ..ops.flash_attention import flash_attention_rel_pos_diff
 
+                # the whole (3, B*heads, N, d) array enters unsliced
                 out = flash_attention_rel_pos_diff(
-                    q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
+                    qkv, rel_pos_h, rel_pos_w, (H, W), scale
                 )
             else:
                 out = attention_with_decomposed_rel_pos(

@@ -40,7 +40,7 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
     """Grid: (BH, q_tiles, k_tiles) with k innermost.
 
     Blocks:
-      q_ref:  (1, Tq, d)       k_ref/v_ref: (1, Tk, d)  (Tk = rows_per_tile*kw)
+      q_ref:  (1, 1, Tq, d)    k_ref/v_ref: (1, 1, Tk, d)
       rh_ref: (1, Tq, Kh)      rw_ref: (1, Tq, kw)
       o_ref:  (1, Tq, d)
     """
@@ -58,9 +58,9 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
     # is applied to the f32 product (exact), so only the operand rounding
     # differs — standard flash practice. (f32 inputs stay f32: parity
     # tests are bit-comparable.)
-    q = q_ref[0]                               # (Tq, d)
-    k = k_ref[0]                               # (Tk, d)
-    v = v_ref[0]                               # (Tk, d)
+    q = q_ref[0, 0]                            # (Tq, d)
+    k = k_ref[0, 0]                            # (Tk, d)
+    v = v_ref[0, 0]                            # (Tk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -122,9 +122,7 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
 
 
 def flash_attention_rel_pos(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
+    qkvt: jnp.ndarray,
     rel_pos_h: jnp.ndarray,
     rel_pos_w: jnp.ndarray,
     q_hw: Tuple[int, int],
@@ -136,12 +134,14 @@ def flash_attention_rel_pos(
     """Drop-in replacement for ops.attention.attention_with_decomposed_rel_pos
     on square self-attention grids (q_hw == k_hw, N = H*W).
 
-    q, k, v: (B, N, d) with B folding batch*heads.
+    qkvt: (3, B, N, d) with B folding batch*heads — one array, so the
+    caller's q/k/v slices never materialize.
     """
-    B, N, d = q.shape
+    _, B, N, d = qkvt.shape
     H, W = q_hw
     assert H * W == N
-    rel_h, rel_w = rel_pos_bias_terms(q, rel_pos_h, rel_pos_w, q_hw, q_hw)
+    rel_h, rel_w = rel_pos_bias_terms(qkvt[0], rel_pos_h, rel_pos_w, q_hw,
+                                      q_hw)
     rel_h = rel_h.reshape(B, N, H)
     rel_w = rel_w.reshape(B, N, W)
 
@@ -157,11 +157,11 @@ def flash_attention_rel_pos(
         functools.partial(_flash_kernel, W, rows, scale),
         grid=(B, N // block_q, H // rows),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, qt, kt: (b, qt, 0),
+            pl.BlockSpec((1, 1, block_q, d), lambda b, qt, kt: (0, b, qt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, qt, kt: (b, kt, 0),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, qt, kt: (1, b, kt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, qt, kt: (b, kt, 0),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, qt, kt: (2, b, kt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, H), lambda b, qt, kt: (b, qt, 0),
                          memory_space=pltpu.VMEM),
@@ -170,14 +170,14 @@ def flash_attention_rel_pos(
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qt, kt: (b, qt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, d), qkvt.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w)
+    )(qkvt, qkvt, qkvt, rel_h, rel_w)
     return out
 
 
@@ -202,20 +202,21 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
     H, W = q_hw
 
     @jax.custom_vjp
-    def fn(q, k, v, rph, rpw):
+    def fn(qkvt, rph, rpw):
         return flash_attention_rel_pos(
-            q, k, v, rph, rpw, q_hw, scale,
+            qkvt, rph, rpw, q_hw, scale,
             block_q=block_q, block_k_rows=block_k_rows, interpret=interpret,
         )
 
-    def fwd(q, k, v, rph, rpw):
-        return fn(q, k, v, rph, rpw), (q, k, v, rph, rpw)
+    def fwd(qkvt, rph, rpw):
+        return fn(qkvt, rph, rpw), (qkvt, rph, rpw)
 
     def bwd(res, g):
         # Chunked dense backward: one q-band's (B, C, N) attention matrix
         # live at a time (sequential lax.map + remat), instead of the full
         # (B, N, N) f32 stack (~3 GB per global block at 1024^2).
-        q, k, v, rph, rpw = res
+        qkvt, rph, rpw = res
+        q, k, v = qkvt[0], qkvt[1], qkvt[2]
         B, N, d = q.shape
         (rh, rw), vjp_terms = jax.vjp(
             lambda q_, rph_, rpw_: rel_pos_bias_terms(
@@ -266,16 +267,18 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
         dq2, drph, drpw = vjp_terms(
             (drh.reshape(B, H, W, H), drw.reshape(B, H, W, W))
         )
-        return (dq + dq2.astype(dq.dtype), dk, dv, drph, drpw)
+        dqkvt = jnp.stack([dq + dq2.astype(dq.dtype), dk, dv])
+        return (dqkvt, drph, drpw)
 
     fn.defvjp(fwd, bwd)
     return fn
 
 
-def flash_attention_rel_pos_diff(q, k, v, rph, rpw, q_hw, scale,
+def flash_attention_rel_pos_diff(qkvt, rph, rpw, q_hw, scale,
                                  block_q: int = 512, block_k_rows: int = 32,
                                  interpret: bool = False):
     """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
-    (one block's dense attention at a time under the stage remat)."""
+    (one block's dense attention at a time under the stage remat).
+    qkvt: (3, B, N, d)."""
     return _make_diff_flash(tuple(q_hw), float(scale), block_q, block_k_rows,
-                            interpret)(q, k, v, rph, rpw)
+                            interpret)(qkvt, rph, rpw)

@@ -28,8 +28,8 @@ def test_flash_matches_dense(H, W, blk_q, blk_kr):
         jnp.array(rpw), (H, W), scale,
     ))
     got = np.asarray(flash_attention_rel_pos(
-        jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(rph),
-        jnp.array(rpw), (H, W), scale,
+        jnp.stack([jnp.array(q), jnp.array(k), jnp.array(v)]),
+        jnp.array(rph), jnp.array(rpw), (H, W), scale,
         block_q=blk_q, block_k_rows=blk_kr, interpret=True,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -26,10 +26,11 @@ def test_flash_vjp_matches_dense():
     scale = d ** -0.5
 
     fn = _make_diff_flash((H, W), scale, 16, 2, True)  # interpret kernel
-    out_f, vjp_f = jax.vjp(fn, q, k, v, rph, rpw)
+    out_f, vjp_f = jax.vjp(fn, jnp.stack([q, k, v]), rph, rpw)
     out_d, vjp_d = jax.vjp(
-        lambda *a: attention_with_decomposed_rel_pos(*a, (H, W), scale),
-        q, k, v, rph, rpw,
+        lambda qkvt, rph_, rpw_: attention_with_decomposed_rel_pos(
+            qkvt[0], qkvt[1], qkvt[2], rph_, rpw_, (H, W), scale),
+        jnp.stack([q, k, v]), rph, rpw,
     )
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
                                rtol=1e-4, atol=1e-5)
