@@ -524,6 +524,76 @@ def _digit_pallas_call(idx, w, tabs, D: int, P: int, LO: int, HI: int,
     return out[:, :, :Lq]
 
 
+def _digit_kernel_multi(P: int, TQ: int, D: int, lohi, mm_dtype, *refs):
+    """All levels AND all quadrants in one grid step: grid (BM, Lq_tiles).
+
+    refs = (idx_ref (L,4,1,P,TQ), w_ref (L,4,1,P,TQ), tab_ref_0 ...
+    tab_ref_{L-1} each (4,1,HI_l*D,LO_l), out_ref (1,D,TQ)). The injector
+    issues one kernel for its 3 value levels instead of 3 — per-step fixed
+    costs (grid sequencing, idx/w DMA) amortize 3x and the per-level
+    partial sums never round-trip HBM.
+    """
+    idx_ref, w_ref = refs[0], refs[1]
+    tab_refs = refs[2:-1]
+    out_ref = refs[-1]
+    acc = jnp.zeros((D, TQ), jnp.float32)
+    for lvl, (LO, HI) in enumerate(lohi):
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, TQ), 0)
+        for quad in range(4):
+            tab = tab_refs[lvl][quad, 0]                 # (HI*D, LO)
+            for p in range(P):
+                idx = idx_ref[lvl, quad, 0, p : p + 1, :]
+                wv = w_ref[lvl, quad, 0, p : p + 1, :]
+                lo = idx % LO
+                hi = idx // LO
+                dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
+                ut = jax.lax.dot_general(
+                    tab, dlo.astype(mm_dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(HI):
+                    acc = acc + jnp.where(
+                        hi == h, ut[h * D : (h + 1) * D, :], 0.0
+                    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _digit_pallas_call_multi(idx3, w3, tabs_list, D: int, P: int, lohi,
+                             mm_dtype, interpret: bool):
+    """idx3/w3: (L, 4, BM, P, Lq); tabs_list[l]: (4, BM, HI_l*D, LO_l).
+    Returns (BM, D, Lq) f32 summed over levels."""
+    L, _, BM, _, Lq = idx3.shape
+    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
+    pad = (-Lq) % TQ
+    if pad:
+        idx3 = jnp.pad(idx3, ((0, 0),) * 4 + ((0, pad),))
+        w3 = jnp.pad(w3, ((0, 0),) * 4 + ((0, pad),))
+    Lqp = Lq + pad
+    in_specs = [
+        pl.BlockSpec((L, 4, 1, P, TQ), lambda bm, t: (0, 0, bm, 0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 4, 1, P, TQ), lambda bm, t: (0, 0, bm, 0, t),
+                     memory_space=pltpu.VMEM),
+    ]
+    for (LO, HI) in lohi:
+        in_specs.append(
+            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        functools.partial(_digit_kernel_multi, P, TQ, D, tuple(lohi),
+                          mm_dtype),
+        grid=(BM, Lqp // TQ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), jnp.float32),
+        interpret=interpret,
+    )(idx3, w3, *tabs_list)
+    return out[:, :, :Lq]
+
+
 def ms_deform_attn_digit_flat_fwd(
     value_flat: jnp.ndarray,
     offs_flat: jnp.ndarray,
@@ -568,7 +638,7 @@ def ms_deform_attn_digit_flat_fwd(
     attnT = attnT.reshape(B, M, L, P, Lq)
     refT = ref_T.astype(jnp.float32).reshape(ref_T.shape[0], L, 2, Lq)
 
-    out = jnp.zeros((B * M, D, Lq), jnp.float32)
+    idx_l, w_l, tabs_l, lohi = [], [], [], []
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         val2 = value_flat[:, offset : offset + H * W]    # (B, HW, M*D)
@@ -602,8 +672,21 @@ def ms_deform_attn_digit_flat_fwd(
                                       (0, 0)))
             tabs = tabs.reshape(4, B * M, HI, LO, D).transpose(0, 1, 2, 4, 3)
             tabs = tabs.reshape(4, B * M, HI * D, LO)
-        out = out + _digit_pallas_call(idx, w, tabs, D, P, LO, HI, mm_dtype,
-                                       value_flat.dtype, interpret)
+        idx_l.append(idx)
+        w_l.append(w)
+        tabs_l.append(tabs)
+        lohi.append((LO, HI))
+    if L > 1:
+        # one multi-level kernel: per-step fixed costs amortize Lx and the
+        # per-level partial sums never round-trip HBM
+        idx3 = jnp.stack(idx_l)
+        w3 = jnp.stack(w_l)
+        out = _digit_pallas_call_multi(idx3, w3, tabs_l, D, P, lohi,
+                                       mm_dtype, interpret)
+    else:
+        out = _digit_pallas_call(idx_l[0], w_l[0], tabs_l[0], D, P,
+                                 lohi[0][0], lohi[0][1], mm_dtype,
+                                 value_flat.dtype, interpret)
     # cast BEFORE the big output transpose: halves its HBM traffic
     out = out.astype(value_flat.dtype)
     # (BM, D, Lq) -> (B, Lq, M*D)
