@@ -99,45 +99,79 @@ def window_attention_fused_fwd(q, k, v, rel_h, rel_w, ws: int, scale: float,
 
 
 def _win_kernel_packed(G: int, ws: int, d: int, scale: float,
-                       qkv_ref, rh_ref, rw_ref, o_ref):
-    """Same math as _win_kernel, but the G per-head outputs are written as
-    adjacent d-wide lane slices of ONE (N, G*d) block: the output tensor is
-    (windows, N, heads*d) — directly consumable by the proj matmul, killing
-    the head-unfold transpose/copy chain on the XLA side (~0.1 ms/block)."""
+                       qkv_ref, rhf_ref, rwf_ref, o_ref):
+    """Per-head outputs land as adjacent d-wide lane slices of ONE (N, G*d)
+    block — the output tensor is (windows, N, heads*d), directly consumable
+    by the proj matmul (no head-unfold transposes on the XLA side).
+
+    The decomposed rel-pos bias is computed ENTIRELY in-kernel from the two
+    tiny (N, d) per-(qy/qx, ky/kw) tables via static-mask MXU algebra:
+
+        bias_h[q, k] = (q . Rh[qy(q), ky(k)])      (reference decomposed form)
+                     = [(q @ Rhfull^T) * M_h] @ E_h
+        M_h[q, j] = [qy(j) == qy(q)]   (static 0/1, j = qy*ws + ky)
+        E_h[j, k] = [ky(j) == ky(k)]   (static 0/1)
+
+    and symmetrically for the width term — the masked dot collapses the
+    row-dependent column selection that Mosaic cannot express as a dynamic
+    slice. This removes the (B, N, ws) per-query term tensors the old
+    kernel streamed from XLA (their 14-wide minor dim tile-padded ~9x,
+    ~40 MB of hidden DMA per block)."""
     N = ws * ws
-    kh = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 0)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (ws, N), 1) // ws
-    e_h = (kh == kcol).astype(jnp.float32)  # (ws, N)
+    qj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    jk = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    m_h = qj // ws == jk // ws          # [qy(q) == qy'(j)]
+    m_w = qj % ws == jk // ws           # [qx(q) == qx'(j)]
+    e_h = (qj % ws == jk // ws)         # rows j: [ky(j) == ky(k)]
+    e_w = (qj % ws == jk % ws)          # rows j: [kw(j) == kx(k)]
+    dt = qkv_ref.dtype
+    e_h = e_h.astype(dt)
+    e_w = e_w.astype(dt)
     for g in range(G):
+        q = qkv_ref[0, g]
         # native-dtype QK^T (f32 MXU dots run at a fraction of bf16 rate);
         # f32 accumulate, scale applied to the f32 product
         s = jax.lax.dot_general(
-            qkv_ref[0, g], qkv_ref[1, g], (((1,), (1,)), ((), ())),
+            q, qkv_ref[1, g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        rh = rh_ref[g].astype(jnp.float32)
-        rw = rw_ref[g].astype(jnp.float32)
-        bias_h = jax.lax.dot_general(
-            rh, e_h, (((1,), (0,)), ((), ())),
+        gh = jax.lax.dot_general(
+            q, rhf_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (N, N) over (qy', ky)
+        gw = jax.lax.dot_general(
+            q, rwf_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (N, N) over (qx', kw)
+        # bias precision matches the old XLA path (terms were einsummed in
+        # q.dtype there)
+        ghm = jnp.where(m_h, gh, 0.0).astype(dt)
+        gwm = jnp.where(m_w, gw, 0.0).astype(dt)
+        s = s + jax.lax.dot_general(
+            ghm, e_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s + bias_h + pltpu.repeat(rw, ws, axis=1)
+        s = s + jax.lax.dot_general(
+            gwm, e_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(qkv_ref.dtype), qkv_ref[2, g], (((1,), (0,)), ((), ())),
+            p.astype(dt), qkv_ref[2, g], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, g * d:(g + 1) * d] = o.astype(o_ref.dtype)
 
 
-def window_attention_packed_fwd(qkvt, rel_h, rel_w, ws: int, scale: float,
-                                num_heads: int, group: int = 8,
+def window_attention_packed_fwd(qkvt, rh_full, rw_full, ws: int,
+                                scale: float, num_heads: int, group: int = 8,
                                 interpret: bool = False):
     """qkvt: (3, B, N, d) with B = windows*heads (head-minor) — ONE array so
-    the caller's q/k/v lane-slices never materialize; rel_h/rel_w:
-    (B, N, ws). Returns (windows, N, num_heads*d) packed output."""
+    the caller's q/k/v lane-slices never materialize; rh_full/rw_full:
+    (N, d) per-(qy, ky)/(qx, kw) rel-pos tables (get_rel_pos output,
+    flattened). Returns (windows, N, num_heads*d) packed output."""
     _, B, N, d = qkvt.shape
     assert N == ws * ws and B % num_heads == 0
     Wn = B // num_heads
@@ -151,9 +185,9 @@ def window_attention_packed_fwd(qkvt, rel_h, rel_w, ws: int, scale: float,
         in_specs=[
             pl.BlockSpec((3, G, N, d), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
+            pl.BlockSpec((N, d), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N, ws), lambda b: (b, 0, 0),
+            pl.BlockSpec((N, d), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, N, G * d),
@@ -161,7 +195,7 @@ def window_attention_packed_fwd(qkvt, rel_h, rel_w, ws: int, scale: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Wn, N, num_heads * d), qkvt.dtype),
         interpret=interpret,
-    )(qkvt, rel_h, rel_w)
+    )(qkvt, rh_full, rw_full)
     return out
 
 
@@ -169,15 +203,16 @@ def window_attention_packed_fwd(qkvt, rel_h, rel_w, ws: int, scale: float,
 def _make_diff_window_attn_packed(ws, scale, num_heads, group, interpret):
     from .attention import attention_with_decomposed_rel_pos
 
+    from .attention import get_rel_pos
+
     @jax.custom_vjp
     def fn(qkvt, rph, rpw):
-        _, B, N, _ = qkvt.shape
-        rel_h, rel_w = rel_pos_bias_terms(qkvt[0], rph, rpw, (ws, ws),
-                                          (ws, ws))
-        rel_h = rel_h.reshape(B, N, ws)
-        rel_w = rel_w.reshape(B, N, ws)
+        N = ws * ws
+        d = qkvt.shape[-1]
+        rh_full = get_rel_pos(ws, ws, rph).reshape(N, d).astype(qkvt.dtype)
+        rw_full = get_rel_pos(ws, ws, rpw).reshape(N, d).astype(qkvt.dtype)
         return window_attention_packed_fwd(
-            qkvt, rel_h, rel_w, ws, scale, num_heads, group=group,
+            qkvt, rh_full, rw_full, ws, scale, num_heads, group=group,
             interpret=interpret,
         )
 
