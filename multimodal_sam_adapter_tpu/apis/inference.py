@@ -35,6 +35,8 @@ def init_segmentor(config_name: str, checkpoint: Optional[str] = None,
     model = EncoderDecoder(
         num_classes=m["num_classes"], head_channels=m["head_channels"],
         dropout_ratio=m["dropout_ratio"], backbone_cfg=m["backbone"],
+        head_type=m.get("head_type", "segformer"),
+        head_cfg=m.get("head"),
         dtype=jnp.bfloat16 if bf16 else None,
     )
     if checkpoint:

@@ -274,6 +274,22 @@ def _deliver_tiny() -> dict:
 _register(_deliver_tiny())
 
 
+def _deliver_tiny_m2f() -> dict:
+    """Test-scale Mask2Former-head variant (the reference registers
+    Mask2FormerHead but ships no config using it; this config exercises the
+    full query-based head + matched point-sampled losses end to end)."""
+    cfg = _deliver_tiny()
+    cfg["name"] = "deliver_tiny_m2f"
+    cfg["model"]["head_type"] = "mask2former"
+    cfg["model"]["head_channels"] = 32
+    cfg["model"]["head"] = dict(num_queries=8, num_decoder_layers=2,
+                                num_encoder_layers=1)
+    return cfg
+
+
+_register(_deliver_tiny_m2f())
+
+
 def _muses_tiny() -> dict:
     """Test-scale MUSES config (case x condition dir tree, .npz aux,
     slide inference) for the CLI integration tests."""

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,31 +27,58 @@ from .segformer_head import SegformerHead
 
 
 class EncoderDecoder(nn.Module):
-    """Segmentor. Returns logits at the input resolution (NHWC)."""
+    """Segmentor. Returns logits at the input resolution (NHWC).
+
+    head_type: 'segformer' (the shipped MM-SAM configs) or 'mask2former'
+    (the reference's registered-but-unshipped Mask2FormerHead,
+    mask2former_head.py:579 — query-based masks, Hungarian-matched
+    point-sampled losses; semantic logits via the cls (x) mask einsum).
+    """
 
     num_classes: int = 25
     head_channels: int = 512
     dropout_ratio: float = 0.1
     align_corners: bool = False
     backbone_cfg: Optional[dict] = None
+    head_type: str = "segformer"
+    head_cfg: Optional[dict] = None
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         cfg = dict(self.backbone_cfg or {})
         cfg.setdefault("dtype", self.dtype)
         self.backbone = SAMAdapterBimodal(**cfg, name="backbone")
-        self.decode_head = SegformerHead(
-            num_classes=self.num_classes,
-            channels=self.head_channels,
-            dropout_ratio=self.dropout_ratio,
-            align_corners=self.align_corners,
-            dtype=self.dtype,
-            name="decode_head",
-        )
+        if self.head_type == "mask2former":
+            from .mask2former import Mask2FormerHead
+
+            self.decode_head = Mask2FormerHead(
+                num_classes=self.num_classes,
+                feat_channels=self.head_channels,
+                dtype=self.dtype,
+                **(self.head_cfg or {}),
+                name="decode_head",
+            )
+        else:
+            self.decode_head = SegformerHead(
+                num_classes=self.num_classes,
+                channels=self.head_channels,
+                dropout_ratio=self.dropout_ratio,
+                align_corners=self.align_corners,
+                dtype=self.dtype,
+                name="decode_head",
+            )
 
     def __call__(self, img, train: bool = False):
         feats = self.backbone(img, train=train)
-        logits = self.decode_head(feats, train=train)
+        if self.head_type == "mask2former":
+            from .mask2former import Mask2FormerHead
+
+            all_cls, all_masks = self.decode_head(feats, train=train)
+            logits = Mask2FormerHead.semantic_inference(
+                all_cls[-1], all_masks[-1]
+            )
+        else:
+            logits = self.decode_head(feats, train=train)
         logits = resize_bilinear(logits, img.shape[1:3])
         return logits
 
@@ -63,8 +91,32 @@ class EncoderDecoder(nn.Module):
 
         The reference computes the loss on logits resized to the label size
         (BaseDecodeHead.losses -> resize to seg_label). gt_seg: (B, H, W).
+
+        For head_type='mask2former': Hungarian-matched point-sampled
+        CE+BCE+dice over every decoder layer's predictions (deep
+        supervision, reference mask2former_head.py loss path).
         """
         feats = self.backbone(img, train=True)
+
+        if self.head_type == "mask2former":
+            from .mask2former import Mask2FormerHead
+            from .mask2former.losses import mask2former_loss
+
+            all_cls, all_masks = self.decode_head(feats, train=True)
+            rng = self.make_rng("dropout")
+            total = 0.0
+            for i, (cls_l, mask_l) in enumerate(zip(all_cls, all_masks)):
+                total = total + mask2former_loss(
+                    cls_l, mask_l, gt_seg,
+                    jax.random.fold_in(rng, i),
+                    num_classes=self.num_classes,
+                    ignore_index=ignore_index,
+                )
+            logits = Mask2FormerHead.semantic_inference(
+                all_cls[-1], all_masks[-1]
+            )
+            logits = resize_bilinear(logits, gt_seg.shape[1:3])
+            return total / len(all_cls), logits
 
         # head + resize + OHEM as one remat unit: drops ~0.4 GB of saved
         # residuals (the head's 256^2 x 2048 concat, the full-resolution

@@ -55,6 +55,8 @@ def main():
     model = EncoderDecoder(
         num_classes=m["num_classes"], head_channels=m["head_channels"],
         dropout_ratio=m["dropout_ratio"], backbone_cfg=m["backbone"],
+        head_type=m.get("head_type", "segformer"),
+        head_cfg=m.get("head"),
         dtype=jnp.bfloat16 if args.bf16 else None,
     )
     if args.checkpoint == "random":

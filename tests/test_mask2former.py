@@ -174,3 +174,43 @@ def test_uncertain_point_coords_importance_sampling():
     # the importance-picked points hug the zero crossing
     assert float(jnp.abs(picked).mean()) < float(jnp.abs(rest).mean())
     assert float(jnp.abs(picked).max()) < 3.0
+
+
+@pytest.mark.slow
+def test_mask2former_head_end_to_end_in_segmentor():
+    """head_type='mask2former' through the full segmentor: forward logits,
+    deep-supervised matched loss, and one optimizer step (the reference
+    registers Mask2FormerHead as a decode-head alternative,
+    mask2former_head.py:579)."""
+    import jax
+
+    from multimodal_sam_adapter_tpu.configs import get_config
+    from multimodal_sam_adapter_tpu.engine.train import (
+        init_train_state,
+        make_train_step,
+    )
+    from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
+
+    cfg = get_config("deliver_tiny_m2f")
+    m = cfg["model"]
+    model = EncoderDecoder(
+        num_classes=m["num_classes"], head_channels=m["head_channels"],
+        dropout_ratio=m["dropout_ratio"], backbone_cfg=m["backbone"],
+        head_type=m["head_type"], head_cfg=m["head"],
+    )
+    img = jnp.ones((1, 64, 64, 6), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    logits = model.apply(variables, img, train=False)
+    assert logits.shape == (1, 64, 64, 25)
+    assert bool(jnp.isfinite(logits).all())
+
+    state = init_train_state(
+        model, (1, 64, 64, 6), jax.random.PRNGKey(1),
+        optimizer_kwargs=dict(steps_per_epoch=4, max_epochs=2,
+                              warmup_epochs=0),
+    )
+    step = make_train_step(model, donate=False)
+    gt = jnp.zeros((1, 64, 64), jnp.int32).at[:, 8:, 8:].set(3)
+    state, metrics = step(state, {"img": img, "gt": gt},
+                          jax.random.PRNGKey(2))
+    assert bool(jnp.isfinite(metrics["loss"]))
