@@ -67,11 +67,38 @@ def main():
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     per_img = (times[9] - times[1]) / 8
+
+    # FLOP accounting so vs_baseline is auditable (not just the A100_EST
+    # constant): XLA's own cost analysis of the compiled single forward.
+    # v5e bf16 peak = 197 TFLOP/s; A100 fp16 dense peak = 312 TFLOP/s — the
+    # implied A100 MFU of the 4 img/s estimate is printed alongside.
+    V5E_PEAK_FLOPS = 197e12
+    A100_PEAK_FLOPS = 312e12
+    flops_per_img = None
+    try:
+        lowered = jax.jit(
+            lambda v, x: model.apply(v, x, train=False)
+        ).lower(variables, img)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_img = float(cost.get("flops", float("nan")))
+    except Exception:
+        pass
+
     rec = {
         "metric": "flagship_1024_infer_images_per_sec_per_chip",
         "unit": "img/s",
         "raw_times_s": {str(k): round(v, 4) for k, v in times.items()},
     }
+    if flops_per_img and flops_per_img == flops_per_img:
+        rec["flops_per_img"] = round(flops_per_img / 1e12, 4)  # TFLOP
+        if per_img > 1e-3:
+            rec["mfu_v5e"] = round(flops_per_img / per_img / V5E_PEAK_FLOPS,
+                                   4)
+        rec["a100_est_implied_mfu"] = round(
+            flops_per_img * A100_EST_IMG_PER_S / A100_PEAK_FLOPS, 4
+        )
     if per_img <= 1e-3:
         # host-sync jitter exceeded the single-image increment: the
         # subtraction is noise-dominated; flag instead of emitting inf

@@ -11,7 +11,10 @@ import test as test_cli
 
 
 def main():
-    sys.argv.insert(sys.argv.index(sys.argv[1]) + 2, "--format-only")
+    # explicit passthrough: append the flag rather than splicing argv by
+    # position (argparse handles flags anywhere; duplicates are harmless)
+    if "--format-only" not in sys.argv:
+        sys.argv.append("--format-only")
     test_cli.main()
 
 

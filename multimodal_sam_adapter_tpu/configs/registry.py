@@ -238,6 +238,29 @@ _register(_muses("lidar"))
 _register(_muses("event"))
 
 
+def _muses_two_aux() -> dict:
+    """RGB + event + lidar: mod_dir/mod_suffix as aligned LISTS, mirroring
+    the reference's base dataset config (configs/_base_/datasets/muses.py:
+    30-31 carries ['projected_to_rgb/event_camera/...',
+    'projected_to_rgb/lidar/...'])."""
+    cfg = _muses("lidar")
+    cfg["name"] = "muses_rgbeventlidar"
+    d = cfg["dataset"]
+    d["mod_dir"] = ["projected_to_rgb/event_camera/{split}",
+                    "projected_to_rgb/lidar/{split}"]
+    d["mod_suffix"] = ["_event_camera.npz", "_lidar.npz"]
+    d["modalities_name"] = ("rgb", "event", "lidar")
+    d["modalities_ch"] = (3, 3, 3)
+    cfg["model"]["backbone"]["modalities_ch"] = (3, 3, 3)
+    for pl in ("train_pipeline", "test_pipeline"):
+        cfg[pl]["normalize"]["aux"] = [MUSES_EVENT, MUSES_LIDAR]
+        cfg[pl]["normalize"]["to_rgb"] = (True, False, False)
+    return cfg
+
+
+_register(_muses_two_aux())
+
+
 def _deliver_tiny() -> dict:
     """Test-scale config: atto twin-conv, 4-block ViT, 64x64 crops. Used by
     the CLI integration tests and CI-scale experiments."""

@@ -287,13 +287,15 @@ class MUSES(SegDataset):
         return infos
 
     # routing decodes the encoded path components (NOT substring matching):
-    # stem = '<case>_<condition>_<name>'
+    # stem = '<case>_<condition>_<name>'. Split the FULL stem — a '<name>'
+    # carrying sub-directories ('rain_day_seq1/frame7') would lose its
+    # leading case/condition under osp.basename.
     def case_of(self, stem):
-        p = osp.basename(stem).split("_")
+        p = stem.split("_")
         return p[0] if p and p[0] in self.CASES else None
 
     def condition_of(self, stem):
-        p = osp.basename(stem).split("_")
+        p = stem.split("_")
         return p[1] if len(p) > 1 and p[1] in self.CONDITIONS else None
 
     def format_results(self, preds, stems, out_dir: str):
@@ -337,6 +339,10 @@ def build_dataset(cfg: dict, data_root: str, test_mode: bool = False,
     name = cfg.get("split_names", {}).get(split, split)
 
     def sub(d):
+        # mod_dir/mod_suffix may be aligned LISTS (multi-aux configs, like
+        # the reference's configs/_base_/datasets/muses.py:30-31)
+        if isinstance(d, (list, tuple)):
+            return [sub(x) for x in d]
         return d.format(split=name) if d else d
 
     return cls(

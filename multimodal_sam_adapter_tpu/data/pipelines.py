@@ -479,9 +479,15 @@ def _normalize_then_pad(sample: Dict, modalities_ch, n: dict,
     over the 1024^2 x 6ch float image instead of three (divide/flip-
     subtract-scale, copy, pad). Falls back to the numpy path bit-for-bit
     (tests/test_native.py guards parity)."""
-    means = [n["rgb"]["mean"], n["aux"]["mean"]]
-    stds = [n["rgb"]["std"], n["aux"]["std"]]
-    to_rgb = list(n.get("to_rgb", (True, True)))
+    # n["aux"] is one stats dict (single aux modality) or an aligned list
+    # of dicts (multi-aux configs, reference muses.py:30-31 style)
+    aux = n["aux"]
+    aux_list = list(aux) if isinstance(aux, (list, tuple)) else [
+        aux for _ in modalities_ch[1:]
+    ]
+    means = [n["rgb"]["mean"]] + [a["mean"] for a in aux_list]
+    stds = [n["rgb"]["std"]] + [a["std"] for a in aux_list]
+    to_rgb = list(n.get("to_rgb", (True,) * len(modalities_ch)))
     norm_by_max = bool(n["norm_by_max"])
     rgb_only = bool(n.get("rgb_only_255", False))
     img = sample["img"]

@@ -20,21 +20,40 @@ def classification_cost(cls_logits, gt_labels, weight: float = 1.0):
     return -probs[:, gt_labels] * weight
 
 
-def mask_bce_cost(mask_logits, gt_masks, weight: float = 1.0):
-    """Per-pixel BCE cost between (Q, N) mask logits and (G, N) binary masks."""
+def mask_bce_cost(mask_logits, gt_masks, weight: float = 1.0,
+                  point_weights=None):
+    """Per-pixel BCE cost between (Q, N) mask logits and (G, N) binary masks.
+
+    point_weights (N,) optionally down-weights individual sample points
+    (0 = ignored pixel); None reproduces the reference's plain mean."""
     m = mask_logits.astype(jnp.float32)
     pos = jax.nn.softplus(-m)   # -log sigmoid(m)
     neg = jax.nn.softplus(m)    # -log(1 - sigmoid(m))
+    if point_weights is None:
+        denom = float(mask_logits.shape[-1])
+    else:
+        v = point_weights.astype(jnp.float32)
+        pos = pos * v
+        neg = neg * v
+        denom = jnp.maximum(v.sum(), 1e-6)
     cost = jnp.einsum("qn,gn->qg", pos, gt_masks) + jnp.einsum(
         "qn,gn->qg", neg, 1.0 - gt_masks
     )
-    return cost / mask_logits.shape[-1] * weight
+    return cost / denom * weight
 
 
-def dice_cost(mask_logits, gt_masks, weight: float = 1.0, eps: float = 1e-3):
+def dice_cost(mask_logits, gt_masks, weight: float = 1.0, eps: float = 1e-3,
+              point_weights=None):
     p = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
-    num = 2.0 * jnp.einsum("qn,gn->qg", p, gt_masks)
-    den = p.sum(-1)[:, None] + gt_masks.sum(-1)[None, :]
+    if point_weights is None:
+        num = 2.0 * jnp.einsum("qn,gn->qg", p, gt_masks)
+        den = p.sum(-1)[:, None] + gt_masks.sum(-1)[None, :]
+    else:
+        # weighted dice: num = 2 Σ v·p·g, den = Σ v·p + Σ v·g
+        v = point_weights.astype(jnp.float32)
+        num = 2.0 * jnp.einsum("qn,gn->qg", p * v[None], gt_masks)
+        den = ((p * v[None]).sum(-1)[:, None]
+               + (gt_masks * v[None]).sum(-1)[None, :])
     return (1.0 - (num + eps) / (den + eps)) * weight
 
 

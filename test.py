@@ -22,6 +22,9 @@ def parse_args():
     p.add_argument("--show-dir", default=None)
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="stack same-shape images through one jitted forward"
+                        " (slide mode stays batch-1)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -76,7 +79,8 @@ def main():
                    out_dir=args.show_dir)
     results = ev.run(pipeline=pipe, max_samples=args.max_samples,
                      format_only=args.format_only,
-                     show=args.show_dir is not None)
+                     show=args.show_dir is not None,
+                     batch_size=args.batch_size)
     ev.print_tables(results)
     stamp = time.strftime("%Y%m%d_%H%M%S")
     out_json = osp.join(args.show_dir or ".", f"eval_single_scale_{stamp}.json")

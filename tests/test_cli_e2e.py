@@ -85,15 +85,19 @@ def fake_muses(tmp_path_factory):
                 img_d = root / "frame_camera" / split / case / cond
                 mod_d = (root / "projected_to_rgb" / "lidar" / split / case
                          / cond)
+                ev_d = (root / "projected_to_rgb" / "event_camera" / split
+                        / case / cond)
                 ann_d = root / "gt_semantic" / split / case / cond
-                for d in (img_d, mod_d, ann_d):
+                for d in (img_d, mod_d, ev_d, ann_d):
                     os.makedirs(d, exist_ok=True)
                 name = f"2023-{case[:2]}-{cond[:2]}_REC{split[:2]}77"
                 img = rng.integers(0, 255, (80, 96, 3), np.uint8)
                 lid = rng.uniform(0, 30, (80, 96, 3)).astype(np.float32)
+                ev = rng.uniform(-1, 1, (80, 96, 3)).astype(np.float32)
                 ann = rng.integers(0, 19, (80, 96), np.uint8)
                 cv2.imwrite(str(img_d / f"{name}_frame_camera.png"), img)
                 np.savez(str(mod_d / f"{name}_lidar.npz"), lid)
+                np.savez(str(ev_d / f"{name}_event_camera.npz"), ev)
                 cv2.imwrite(str(ann_d / f"{name}_gt_labelTrainIds.png"), ann)
     return str(root)
 
@@ -148,6 +152,30 @@ def test_muses_train_and_test_cli(fake_muses, tmp_path):
         cwd=repo,
     )
     assert "mIoU" in out
+
+
+def test_multi_aux_config_through_build_dataset(fake_muses):
+    """A list-carrying config (mod_dir/mod_suffix lists, like the
+    reference's configs/_base_/datasets/muses.py:30-31) must build through
+    build_dataset — '{split}' templates resolved per list element — and
+    load rgb+event+lidar as 9 channels, then normalize with per-aux stats
+    through the composed test pipeline."""
+    from multimodal_sam_adapter_tpu.configs import get_config
+    from multimodal_sam_adapter_tpu.data.datasets import build_dataset
+    from multimodal_sam_adapter_tpu.data.pipelines import TestPipeline
+
+    cfg = get_config("muses_rgbeventlidar")
+    ds = build_dataset(cfg["dataset"], fake_muses, split="val")
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["img"].shape == (80, 96, 9)  # rgb + event(3) + lidar(3)
+
+    pipe = TestPipeline(cfg["test_pipeline"],
+                        modalities_ch=cfg["dataset"]["modalities_ch"])
+    out = pipe(dict(s))
+    assert out["img"].shape[-1] == 9
+    # the lidar slice used its own measured stats, not the event stats
+    assert np.isfinite(out["img"]).all()
 
 
 def test_multi_aux_modality_lists(tmp_path):

@@ -214,3 +214,71 @@ def test_mask2former_head_end_to_end_in_segmentor():
     state, metrics = step(state, {"img": img, "gt": gt},
                           jax.random.PRNGKey(2))
     assert bool(jnp.isfinite(metrics["loss"]))
+
+
+def test_sample_semantic_points_matches_fullres_masks():
+    """Corner-decomposed semantic sampling == point_sample of materialized
+    full-resolution per-class masks (reference ToMask + point_sample,
+    mask2former_head.py:234-243)."""
+    from multimodal_sam_adapter_tpu.models.mask2former.losses import (
+        point_sample,
+        sample_semantic_points,
+        sample_semantic_points_for_classes,
+    )
+
+    rng = np.random.default_rng(3)
+    K, H, W, P = 5, 37, 53, 200
+    gt = jnp.array(rng.integers(0, K, (H, W)), jnp.int32)
+    coords = jnp.array(rng.uniform(-0.05, 1.05, (P, 2)), jnp.float32)
+
+    masks = (gt[None] == jnp.arange(K)[:, None, None]).astype(jnp.float32)
+    want = np.asarray(point_sample(masks, coords))          # (K, P)
+    got, valid_w = sample_semantic_points(gt, coords, K, ignore_index=255)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    # no ignored pixels: every in-bounds point fully valid
+    assert np.asarray(valid_w).min() >= 0.0
+    np.testing.assert_allclose(np.asarray(valid_w).max(), 1.0, atol=1e-6)
+
+    # per-class variant agrees with the dense one
+    Q = 4
+    qcoords = jnp.array(rng.uniform(0, 1, (Q, P, 2)), jnp.float32)
+    cids = jnp.array(rng.integers(0, K, (Q,)), jnp.int32)
+    gq, _ = sample_semantic_points_for_classes(gt, qcoords, cids, 255)
+    for q in range(Q):
+        dense, _ = sample_semantic_points(gt, qcoords[q], K, 255)
+        np.testing.assert_allclose(np.asarray(gq[q]),
+                                   np.asarray(dense[cids[q]]), atol=1e-5)
+
+
+def test_mask2former_loss_ignores_ignore_index():
+    """Pixels labeled ignore_index must not act as negative targets: the
+    loss on gt with an ignored band equals the loss where that band is
+    deleted only from the valid sample mass (here: two gts identical except
+    ignored band vs class-0 band must give DIFFERENT losses, and the
+    ignored version must not penalize confident predictions inside the
+    band)."""
+    rng = np.random.default_rng(7)
+    B, Q, K, h, H = 1, 4, 3, 16, 64
+    cls_logits = jnp.array(rng.standard_normal((B, Q, K + 1)), jnp.float32)
+    # query 0 predicts a strong positive mask everywhere
+    mask_logits = jnp.full((B, Q, h, h), -8.0, jnp.float32)
+    mask_logits = mask_logits.at[0, 0].set(8.0)
+
+    # gt: class 1 everywhere except a big ignored band
+    gt_ign = jnp.ones((B, H, H), jnp.int32)
+    gt_ign = gt_ign.at[:, H // 2:].set(255)
+    # same but the band is class 0 (a real negative for class 1)
+    gt_neg = jnp.ones((B, H, H), jnp.int32)
+    gt_neg = gt_neg.at[:, H // 2:].set(0)
+
+    def loss(gt):
+        return float(mask2former_loss(cls_logits, mask_logits, gt,
+                                      jax.random.PRNGKey(0), K,
+                                      num_points=256))
+
+    l_ign, l_neg = loss(gt_ign), loss(gt_neg)
+    assert np.isfinite(l_ign) and np.isfinite(l_neg)
+    # with the band ignored, the all-positive query matched to class 1 is
+    # only judged on the top half (where it is correct): lower loss than
+    # when the band is a true negative it gets wrong
+    assert l_ign < l_neg
