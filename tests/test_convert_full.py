@@ -39,8 +39,29 @@ DEPTHS = (2, 2, 6, 2)
 HEAD_CH, NCLS = 16, 7
 
 
-def synth_state_dict(ch=CH, depths=DEPTHS):
+def synth_state_dict(ch=CH, depths=DEPTHS, cfg=None, head_ch=None,
+                     ncls=None):
+    """Synthetic reference-layout state dict.
+
+    cfg: backbone-config dict (TINY_BACKBONE by default). Passing the
+    flagship dims (embed 1024 / 16 heads / window 14 / pretrained 1024)
+    generates a production-geometry checkpoint for the flagship parity
+    test."""
+    bc = TINY_BACKBONE if cfg is None else cfg
     CH, DEPTHS = ch, depths  # noqa: N806 — allow arch overrides (e.g. pico)
+    EMBED = bc["embed_dim"]                          # noqa: N806
+    HEADS = bc["num_heads"]                          # noqa: N806
+    DEPTH = bc["depth"]                              # noqa: N806
+    GRID = bc["pretrained_size"] // bc["patch_size"]  # noqa: N806
+    WIN = bc["window_size"]                          # noqa: N806
+    GLOBAL = bc["global_attn_indexes"]               # noqa: N806
+    DEF_HEADS = bc["deform_num_heads"]               # noqa: N806
+    NPTS = bc["n_points"]                            # noqa: N806
+    RATIO = bc["deform_ratio"]                       # noqa: N806
+    CFFN = bc["cffn_ratio"]                          # noqa: N806
+    IMG = bc["img_size"]                             # noqa: N806
+    HEAD_CH = globals()["HEAD_CH"] if head_ch is None else head_ch  # noqa
+    NCLS = globals()["NCLS"] if ncls is None else ncls  # noqa: N806
     sd = {}
 
     def add(name, *shape):

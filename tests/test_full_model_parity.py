@@ -62,27 +62,30 @@ def _sanitize_batchnorm_stats(sd):
     return sd
 
 
-def _build_torch_model(sd):
+def _build_torch_model(sd, bcfg=None, head_ch=None, ncls=None):
     import torch
 
     from tests.reference_oracle import load_reference_modules
 
+    bcfg = TINY_BACKBONE if bcfg is None else bcfg
+    head_ch = HEAD_CH if head_ch is None else head_ch
+    ncls = NCLS if ncls is None else ncls
     ns = load_reference_modules()
     cls = ns.top_backbone.SAMAdapterbimodalMixModNewInTwinConvNEWwithcp
     backbone = cls(
-        pretrain_size=TINY_BACKBONE["pretrained_size"],
-        num_heads=TINY_BACKBONE["num_heads"],
-        conv_inplane=TINY_BACKBONE["conv_inplane"],
-        n_points=TINY_BACKBONE["n_points"],
+        pretrain_size=bcfg["pretrained_size"],
+        num_heads=bcfg["num_heads"],
+        conv_inplane=bcfg["conv_inplane"],
+        n_points=bcfg["n_points"],
         modalities_name=["rgb", "lidar"],
-        modalities_ch=list(TINY_BACKBONE["modalities_ch"]),
-        deform_num_heads=TINY_BACKBONE["deform_num_heads"],
-        init_values=TINY_BACKBONE["init_values"],
+        modalities_ch=list(bcfg["modalities_ch"]),
+        deform_num_heads=bcfg["deform_num_heads"],
+        init_values=bcfg["init_values"],
         interaction_indexes=[list(s) for s in
-                             TINY_BACKBONE["interaction_indexes"]],
+                             bcfg["interaction_indexes"]],
         with_cffn=True,
-        cffn_ratio=TINY_BACKBONE["cffn_ratio"],
-        deform_ratio=TINY_BACKBONE["deform_ratio"],
+        cffn_ratio=bcfg["cffn_ratio"],
+        deform_ratio=bcfg["deform_ratio"],
         add_vit_feature=True,
         pretrained=None,
         use_extra_extractor=True,
@@ -91,15 +94,15 @@ def _build_torch_model(sd):
         drop_rate=0.0,
         conv_drop_path_rate=0.0,
         drop_multimodal_path=0.0,
-        arch=TINY_BACKBONE["arch"],
+        arch=bcfg["arch"],
         checkpoint=None,
-        img_size=TINY_BACKBONE["img_size"],
-        patch_size=TINY_BACKBONE["patch_size"],
-        embed_dim=TINY_BACKBONE["embed_dim"],
-        depth=TINY_BACKBONE["depth"],
-        window_size=TINY_BACKBONE["window_size"],
-        global_attn_indexes=tuple(TINY_BACKBONE["global_attn_indexes"]),
-        pretrained_size=TINY_BACKBONE["pretrained_size"],
+        img_size=bcfg["img_size"],
+        patch_size=bcfg["patch_size"],
+        embed_dim=bcfg["embed_dim"],
+        depth=bcfg["depth"],
+        window_size=bcfg["window_size"],
+        global_attn_indexes=tuple(bcfg["global_attn_indexes"]),
+        pretrained_size=bcfg["pretrained_size"],
     )
     bsd = {k[len("backbone."):]: torch.tensor(v) for k, v in sd.items()
            if k.startswith("backbone.")}
@@ -109,11 +112,11 @@ def _build_torch_model(sd):
     assert not leftovers, leftovers[:10]
 
     head = ns.segformer_head.SegformerHead(
-        in_channels=[TINY_BACKBONE["embed_dim"]] * 4,
+        in_channels=[bcfg["embed_dim"]] * 4,
         in_index=[0, 1, 2, 3],
-        channels=HEAD_CH,
+        channels=head_ch,
         dropout_ratio=0.1,
-        num_classes=NCLS,
+        num_classes=ncls,
         norm_cfg=dict(type="SyncBN", requires_grad=True),
         align_corners=False,
         interpolate_mode="bilinear",
@@ -150,6 +153,85 @@ def test_full_model_logits_match_reference_torch():
         got = np.asarray(model.apply(
             {"params": tree["params"], "batch_stats": tree["batch_stats"]},
             jnp.asarray(x), train=False))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# flagship geometry: the production shape constants under the torch oracle
+# ---------------------------------------------------------------------------
+
+# Real operating point of every shipped config (configs/DELIVER/...RGBLIDAR.
+# py:33-56 / SURVEY 2.5): embed 1024 / 16 heads / window 14 (196-token
+# windows, 27-entry rel-pos tables) / global blocks with the 127-entry
+# pretrained-1024 tables interpolated on the fly / ConvNeXt-'small' channels
+# (96,192,384,768) with conv_inplane 48 / deform 16 heads x 4 points ratio
+# 0.5. ViT depth cut to 4 blocks (one per interaction stage, global at 1 and
+# 3) and input at 512^2 to keep the CPU runtime bounded; every per-block and
+# per-stage shape constant is the production one.
+FLAGSHIP_GEO = dict(
+    img_size=512,
+    patch_size=16,
+    embed_dim=1024,
+    depth=4,
+    num_heads=16,
+    drop_path_rate=0.0,
+    conv_drop_path_rate=0.0,
+    conv_inplane=48,
+    n_points=4,
+    deform_num_heads=16,
+    init_values=1e-6,
+    cffn_ratio=0.25,
+    deform_ratio=0.5,
+    interaction_indexes=((0, 0), (1, 1), (2, 2), (3, 3)),
+    global_attn_indexes=(1, 3),
+    window_size=14,
+    pretrained_size=1024,
+    modalities_ch=(3, 3),
+    arch="small",
+    with_cp=False,
+)
+SMALL_CH = (96, 192, 384, 768)
+SMALL_DEPTHS = (3, 3, 27, 3)
+FLAG_HEAD_CH, FLAG_NCLS = 512, 25
+
+
+def test_full_model_logits_match_reference_torch_flagship_geometry():
+    """Full-model parity at FLAGSHIP geometry (embed 1024 / window 14 /
+    ConvNeXt-small / 512^2 input): the TPU-specific machinery (in-kernel
+    rel-pos table algebra at 27/127 entries, MSDA quadrant packing at real
+    HW sizes, composed neck kernels at 96-768 ch) under the reference's own
+    torch forward for the first time. f32, CPU."""
+    import torch
+
+    torch.manual_seed(0)
+    sd = _sanitize_batchnorm_stats(
+        synth_state_dict(ch=SMALL_CH, depths=SMALL_DEPTHS, cfg=FLAGSHIP_GEO,
+                         head_ch=FLAG_HEAD_CH, ncls=FLAG_NCLS))
+    rng = np.random.default_rng(0)
+    S = FLAGSHIP_GEO["img_size"]
+    x = rng.standard_normal((1, S, S, 6)).astype(np.float32) * 0.5
+
+    backbone, head, ns = _build_torch_model(sd, bcfg=FLAGSHIP_GEO,
+                                            head_ch=FLAG_HEAD_CH,
+                                            ncls=FLAG_NCLS)
+    with torch.no_grad():
+        feats, _ = backbone(torch.tensor(x).permute(0, 3, 1, 2))
+        logits_t = head(feats)
+        logits_t = ns.resize(logits_t, size=(S, S), mode="bilinear",
+                             align_corners=False)
+    want = logits_t.permute(0, 2, 3, 1).numpy()  # NHWC
+
+    tree = convert_full_checkpoint(
+        sd, FLAGSHIP_GEO["interaction_indexes"])
+    model = EncoderDecoder(num_classes=FLAG_NCLS, head_channels=FLAG_HEAD_CH,
+                           backbone_cfg=FLAGSHIP_GEO)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(jax.jit(
+            lambda v, xx: model.apply(v, xx, train=False)
+        )({"params": tree["params"], "batch_stats": tree["batch_stats"]},
+          jnp.asarray(x)))
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
