@@ -128,7 +128,19 @@ def _map_neck(params, stats, rest, v):
         r"detail_feature_extractions\.(\d+)\.(project_in|dwconv|project_out)"
         r"\.weight", rest)
     if m:
-        return conv((f"detail{m.group(1)}", m.group(2)), v)
+        i, which = m.group(1), m.group(2)
+        if which == "project_out":
+            return conv((f"detail{i}", "project_out"), v)
+        # the fused 2*hidden expand/dwconv run as two half-branches on TPU
+        # (GatedDWConvMlp: gate = out channels [0:h], val = [h:2h]; the
+        # dwconv 2-ch groups never straddle the halves) — slice the
+        # reference's fused weight along its HWIO output axis
+        w = t_conv(v)
+        h = w.shape[-1] // 2
+        sub = {"project_in": "project_in", "dwconv": "dwconv"}[which]
+        _set(params, (f"detail{i}", f"{sub}_gate", "kernel"), w[..., :h])
+        return _set(params, (f"detail{i}", f"{sub}_val", "kernel"),
+                    w[..., h:])
     m = re.match(r"ca_blocks\.(\d+)\.coord_atten\.(conv1|conv_h|conv_w)"
                  r"\.(weight|bias)", rest)
     if m:
