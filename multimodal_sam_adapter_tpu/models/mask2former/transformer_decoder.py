@@ -100,6 +100,13 @@ class Mask2FormerDecoder(nn.Module):
             "query_feat", nn.initializers.normal(1.0),
             (self.num_queries, self.dim),
         )
+        # per-memory-level embedding ADDED TO the decoder inputs (reference
+        # mask2former_head.py:118,477: decoder_input + level_embed); distinct
+        # from the pixel decoder's own level_encoding
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (3, self.dim),
+        )
         self.layers = [
             DecoderLayer(dim=self.dim, num_heads=self.num_heads,
                          ffn_dim=self.ffn_dim, dtype=self.dtype,
@@ -162,9 +169,11 @@ class Mask2FormerDecoder(nn.Module):
             mem = memories[lvl]
             h, w = mem.shape[1], mem.shape[2]
             bias = self._attn_bias(preds[-1][1], (h, w), self.num_heads)
+            mem_tokens = (mem.reshape(B, h * w, self.dim)
+                          + self.level_embed[lvl].astype(mem.dtype))
             queries = layer(
                 queries, qpos,
-                mem.reshape(B, h * w, self.dim),
+                mem_tokens,
                 memory_pos[lvl].reshape(1, h * w, self.dim).astype(mem.dtype),
                 bias,
             )

@@ -65,6 +65,11 @@ class _MiniRegistry:
 
     def build(self, cfg, **default_args):
         cfg = dict(cfg)
+        # mmcv-style builders pass `default_args=<dict|None>` as a single
+        # kwarg; mmengine-style callers pass defaults as **kwargs directly
+        nested = default_args.pop("default_args", None)
+        if nested:
+            default_args.update(nested)
         cfg.update({k: v for k, v in default_args.items() if k not in cfg})
         cls = self._d[cfg.pop("type")]
         return cls(**cfg)
@@ -385,7 +390,8 @@ def load_reference_modules():
                      dropout_ratio=0.1, conv_cfg=None, norm_cfg=None,
                      act_cfg=dict(type="ReLU"), in_index=-1,
                      input_transform=None, loss_decode=None,
-                     ignore_index=255, sampler=None, align_corners=False):
+                     ignore_index=255, sampler=None, align_corners=False,
+                     init_cfg=None):
             super().__init__()
             self.in_channels = in_channels
             self.channels = channels
