@@ -28,6 +28,37 @@ from .adapter import InteractionBlock, SpatialPriorModuleBimodal
 from .sam_vit import PatchEmbed
 
 
+class PixelShuffleUp(nn.Module):
+    """2x2-stride-2 transposed conv as one MXU dot + depth-to-space.
+
+    Math-identical to `nn.ConvTranspose(C, (2,2), strides=(2,2))` (kernel
+    layout + name kept, so checkpoints are interchangeable; flax's
+    conv_transpose applies the kernel spatially flipped — verified in
+    tests/test_backbone_up.py). XLA lowers the 2x2 ConvTranspose at
+    128x128x1024 into dilated-conv form with ~multi-ten-MB relayout copies
+    and a traced ~4.5 ms of device stalls around them (the r3 xplane gap
+    analysis); the dot + reshape + one interleave transpose form keeps the
+    whole op on the MXU with a single clean copy."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        O = self.features
+        kernel = self.param(
+            "kernel", fan_out_conv_init, (2, 2, C, O), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
+        dt = self.dtype or x.dtype
+        # (2,2,C,O), spatially flipped -> (C, di, dj, O) -> (C, 4O)
+        w = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3))
+        w = w.reshape(C, 4 * O).astype(dt)
+        y = (x.reshape(B * H * W, C) @ w).reshape(B, H, W, 2, 2, O)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, 2 * H, 2 * W, O)
+        return y + bias.astype(dt)
+
+
 class SAMAdapterBimodal(nn.Module):
     """Top-level multimodal backbone (reference registry name:
     SAMAdapterbimodalMixModNewInTwinConvNEW[withcp])."""
@@ -175,9 +206,8 @@ class SAMAdapterBimodal(nn.Module):
         c2 = c[:, :n2].reshape(B, H * 2, W * 2, self.embed_dim)
         c3 = c[:, n2 : n2 + n3].reshape(B, H, W, self.embed_dim)
         c4 = c[:, n2 + n3 :].reshape(B, H // 2, W // 2, self.embed_dim)
-        c1 = nn.ConvTranspose(
-            self.embed_dim, (2, 2), strides=(2, 2), dtype=self.dtype,
-            kernel_init=fan_out_conv_init, name="up",
+        c1 = PixelShuffleUp(
+            self.embed_dim, dtype=self.dtype, name="up",
         )(c2) + c1
 
         if self.add_vit_feature:
