@@ -251,7 +251,12 @@ def convert_full_checkpoint(
                 continue
             raise KeyError(f"unmapped interactions key: {key}")
         elif key == "up.weight":
-            _set(bb, ("up", "kernel"), t_conv_transpose(v))
+            # PixelShuffleUp stores the 2x2-stride-2 ConvTranspose kernel
+            # dot-ready as (C, kh, kw, O): the flax flip and the
+            # stride==kernel depth-to-space flip cancel, leaving a pure
+            # transpose of torch's (I, O, kh, kw)
+            _set(bb, ("up", "kernel"),
+                 np.ascontiguousarray(v.transpose(0, 2, 3, 1)))
         elif key == "up.bias":
             _set(bb, ("up", "bias"), v)
         elif re.match(r"norm([1-4])\.(\w+)", key):

@@ -17,8 +17,10 @@ activation memory to ~1 stage.
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,14 +33,18 @@ from .sam_vit import PatchEmbed
 class PixelShuffleUp(nn.Module):
     """2x2-stride-2 transposed conv as one MXU dot + depth-to-space.
 
-    Math-identical to `nn.ConvTranspose(C, (2,2), strides=(2,2))` (kernel
-    layout + name kept, so checkpoints are interchangeable; flax's
-    conv_transpose applies the kernel spatially flipped — verified in
-    tests/test_backbone_up.py). XLA lowers the 2x2 ConvTranspose at
-    128x128x1024 into dilated-conv form with ~multi-ten-MB relayout copies
-    and a traced ~4.5 ms of device stalls around them (the r3 xplane gap
-    analysis); the dot + reshape + one interleave transpose form keeps the
-    whole op on the MXU with a single clean copy."""
+    Math-identical to `nn.ConvTranspose(C, (2,2), strides=(2,2))`, verified
+    in tests/test_backbone_up.py. XLA lowers the 2x2 ConvTranspose at
+    128x128x1024 into dilated-conv form with multi-ten-MB relayout copies;
+    the dot + one interleave transpose keeps the whole op on the MXU.
+
+    The kernel param is stored DOT-READY as (C, 2, 2, O) — equal to the
+    flax ConvTranspose kernel spatially flipped then axis-moved, which for
+    stride==kernel_size is simply torch's ConvTranspose2d (I, O, kh, kw)
+    weight transposed (0, 2, 3, 1) (flips cancel; engine/convert_full.py).
+    Storing it pre-transposed matters on this runtime: computing the
+    flip+transpose+cast at use-point materialized an 8 MB weight copy the
+    device stalled ~12 ms on per (unscanned) forward (r3 xplane trace)."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
@@ -47,13 +53,17 @@ class PixelShuffleUp(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         O = self.features
-        kernel = self.param(
-            "kernel", fan_out_conv_init, (2, 2, C, O), jnp.float32)
+
+        def init(key, shape, dtype=jnp.float32):
+            # reference _init_weights for ConvTranspose2d: N(0, sqrt(2 /
+            # (kh*kw*out_ch))) iid — drawable directly in this layout
+            return jax.random.normal(key, shape, dtype) * math.sqrt(
+                2.0 / (2 * 2 * O))
+
+        kernel = self.param("kernel", init, (C, 2, 2, O), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
         dt = self.dtype or x.dtype
-        # (2,2,C,O), spatially flipped -> (C, di, dj, O) -> (C, 4O)
-        w = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3))
-        w = w.reshape(C, 4 * O).astype(dt)
+        w = kernel.reshape(C, 4 * O).astype(dt)
         y = (x.reshape(B * H * W, C) @ w).reshape(B, H, W, 2, 2, O)
         y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, 2 * H, 2 * W, O)
         return y + bias.astype(dt)

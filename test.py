@@ -85,6 +85,16 @@ def main():
     stamp = time.strftime("%Y%m%d_%H%M%S")
     out_json = osp.join(args.show_dir or ".", f"eval_single_scale_{stamp}.json")
     payload = {k: v for k, v in results.get("summary", {}).items()}
+    # provenance so an artifact can't be mistaken for a different run's
+    # (e.g. random-init smoke vs trained weights)
+    payload["provenance"] = {
+        "config": args.config,
+        "checkpoint": args.checkpoint,
+        "data_root": args.data_root,
+        "n_samples": len(ds) if args.max_samples is None
+        else min(args.max_samples, len(ds)),
+        "timestamp": stamp,
+    }
     if "eval_results" in results:
         # nested condition x case dump, same shape as the reference's
         # evaluate() eval_results (DELIVER.py:261-617): per-cell summary +
