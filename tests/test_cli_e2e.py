@@ -70,6 +70,18 @@ def test_train_and_test_cli(fake_deliver, tmp_path):
     )
     assert "mIoU" in out
 
+    # batched eval through the CLI must reproduce batch-1 metrics exactly
+    # (reference test_bs.py batching; Evaluator same-shape batching)
+    out_b = run_cli(
+        ["test.py", "deliver_tiny", ckpt, "--data-root", fake_deliver,
+         "--eval", "mIoU", "--batch-size", "3"],
+        cwd=repo,
+    )
+    def miou(s):
+        import re
+        return re.search(r"\{'mIoU': ([\d.]+)", s).group(1)
+    assert miou(out_b) == miou(out)
+
 
 @pytest.fixture(scope="module")
 def fake_muses(tmp_path_factory):
