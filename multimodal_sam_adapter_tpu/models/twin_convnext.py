@@ -45,12 +45,24 @@ class ConvNeXtBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
     layer_scale_init_value: float = 1e-6
+    impl: str = "auto"  # 'xla' | 'fused' | 'auto' (fused Pallas on TPU)
     dtype: Optional[jnp.dtype] = None
+
+    def _use_fused(self, x) -> bool:
+        # measured NEGATIVE on v5e (scripts/tpu_convnext_fused_probe.py +
+        # full-model bench, docs/DESIGN.md round-3): fused was only at
+        # parity in isolation at stage-3 geometry (0.207 vs 0.203
+        # ms/block), WORSE at stage-4 (0.122 vs 0.075), and regressed the
+        # full flagship forward 9.10 -> 8.75 img/s when auto-gated to
+        # stage 3. XLA's conv+LN+MLP pipeline already overlaps these ops
+        # across blocks; the single-grid-step kernel serializes them. Kept
+        # as an explicit opt-in only.
+        return self.impl == "fused" and self.layer_scale_init_value > 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         shortcut = x
-        x = nn.Conv(
+        conv = nn.Conv(
             self.channels,
             kernel_size=(7, 7),
             padding=[(3, 3), (3, 3)],
@@ -58,21 +70,53 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),
             name="dwconv",
-        )(x)
-        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(
+        )
+        norm = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")
+        fc1 = nn.Dense(
             int(self.mlp_ratio * self.channels),
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),
             name="pwconv1",
-        )(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(
+        )
+        fc2 = nn.Dense(
             self.channels,
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),
             name="pwconv2",
-        )(x)
+        )
+        if self._use_fused(x):
+            from ..ops.convnext_block import convnext_block_fused
+
+            # create the IDENTICAL param tree by tracing the submodules on
+            # a tiny slice (flax creates params at first call; shapes only
+            # depend on the channel dim), then hand the weights to the
+            # fused kernel — checkpoints/converter stay impl-agnostic
+            probe = x[:1, :8, :8, :]
+            _ = fc2(fc1(norm(conv(probe))))
+            p = {name: m.variables["params"]
+                 for name, m in (("dw", conv), ("norm", norm),
+                                 ("fc1", fc1), ("fc2", fc2))}
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.channels,),
+            )
+            delta = convnext_block_fused(
+                x,
+                p["dw"]["kernel"], p["dw"]["bias"],
+                p["norm"]["ln"]["scale"], p["norm"]["ln"]["bias"],
+                p["fc1"]["kernel"], p["fc1"]["bias"],
+                p["fc2"]["kernel"], p["fc2"]["bias"],
+                gamma,
+            )
+            delta = DropPath(self.drop_path_rate, name="drop_path")(
+                delta, deterministic)
+            return shortcut + delta
+        x = conv(x)
+        x = norm(x)
+        x = fc1(x)
+        x = nn.gelu(x, approximate=False)
+        x = fc2(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
                 "gamma",

@@ -39,23 +39,29 @@ def fake_deliver(tmp_path_factory):
     return str(root)
 
 
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
 def run_cli(args, cwd):
+    # resolve the script against the repo but run from a scratch cwd so
+    # CLI byproducts (eval_single_scale_*.json) never land in the repo root
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=2",
                JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
-    r = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+    cmd = [sys.executable, osp.join(REPO, args[0])] + args[1:]
+    r = subprocess.run(cmd, cwd=cwd, env=env,
                        capture_output=True, text=True, timeout=3000)
     assert r.returncode == 0, f"STDOUT:\n{r.stdout[-3000:]}\nERR:\n{r.stderr[-3000:]}"
     return r.stdout
 
 
 def test_train_and_test_cli(fake_deliver, tmp_path):
-    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    scratch = str(tmp_path)
     work = str(tmp_path / "work")
     out = run_cli(
         ["train.py", "deliver_tiny", "--data-root", fake_deliver,
          "--work-dir", work, "--max-epochs", "2"],
-        cwd=repo,
+        cwd=scratch,
     )
     assert "loss" in out and '"eval"' in out
     ckpts = os.listdir(osp.join(work, "ckpts"))
@@ -66,7 +72,7 @@ def test_train_and_test_cli(fake_deliver, tmp_path):
     out = run_cli(
         ["test.py", "deliver_tiny", ckpt, "--data-root", fake_deliver,
          "--eval", "mIoU"],
-        cwd=repo,
+        cwd=scratch,
     )
     assert "mIoU" in out
 
@@ -75,7 +81,7 @@ def test_train_and_test_cli(fake_deliver, tmp_path):
     out_b = run_cli(
         ["test.py", "deliver_tiny", ckpt, "--data-root", fake_deliver,
          "--eval", "mIoU", "--batch-size", "3"],
-        cwd=repo,
+        cwd=scratch,
     )
     def miou(s):
         import re
@@ -147,12 +153,12 @@ def test_muses_dataset_discovery_and_routing(fake_muses):
 
 
 def test_muses_train_and_test_cli(fake_muses, tmp_path):
-    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    scratch = str(tmp_path)
     work = str(tmp_path / "work_muses")
     out = run_cli(
         ["train.py", "muses_tiny", "--data-root", fake_muses,
          "--work-dir", work, "--max-epochs", "1"],
-        cwd=repo,
+        cwd=scratch,
     )
     assert "loss" in out
     ckpts = os.listdir(osp.join(work, "ckpts"))
@@ -161,7 +167,7 @@ def test_muses_train_and_test_cli(fake_muses, tmp_path):
     out = run_cli(
         ["test.py", "muses_tiny", ckpt, "--data-root", fake_muses,
          "--eval", "mIoU"],
-        cwd=repo,
+        cwd=scratch,
     )
     assert "mIoU" in out
 
