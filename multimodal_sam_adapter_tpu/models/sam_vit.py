@@ -114,11 +114,34 @@ class ViTAttention(nn.Module):
                 impl = "flash"
             elif on_tpu and H == W and H * W <= 1024 and self.use_rel_pos:
                 # windowed blocks: fused single-tile kernel (the dense path
-                # round-trips the 61 MB score tensor through HBM per block)
-                impl = "win_fused"
+                # round-trips the 61 MB score tensor through HBM per block).
+                # MSA_WIN_IMPL is a trace-time A/B knob for the windowed
+                # kernel choice only (win_fused | win_lane)
+                impl = os.environ.get("MSA_WIN_IMPL", "win_fused")
             else:
                 impl = "dense"
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        if impl == "win_lane" and self.use_rel_pos:
+            from ..ops.window_attention import window_attention_laneblock
+
+            assert H == W, "win_lane expects square windows"
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            # the raw (windows, N, 3C) projection output feeds the kernel
+            # directly — head-group q/k/v are 128-lane-aligned BlockSpec
+            # slices, so the head-split transpose chain never exists
+            out = window_attention_laneblock(
+                qkv.reshape(B, H * W, 3 * self.dim),
+                rel_pos_h, rel_pos_w, H, scale, num_heads=self.num_heads,
+            )
+            out = out.reshape(B, H, W, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * self.num_heads, H * W, head_dim)
         if impl == "win_fused" and self.use_rel_pos:

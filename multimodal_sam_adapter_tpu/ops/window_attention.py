@@ -248,6 +248,164 @@ def window_attention_packed(qkvt, rel_pos_h, rel_pos_w, ws: int,
     )(qkvt, rel_pos_h, rel_pos_w)
 
 
+def _win_kernel_laneblock(G: int, ws: int, d: int, scale: float,
+                          q_ref, k_ref, v_ref, rhp_ref, rwp_ref, o_ref):
+    """Lane-blocked window attention: q/k/v arrive as 128-lane-aligned
+    slices of the RAW qkv projection output (feature order f = s*H*d +
+    h*d + dd), so the XLA-side head-split transpose chain — the single
+    largest non-matmul cost of a windowed ViT block (~0.37 ms/block) —
+    never exists. Per-head dots become masked WIDE dots with the mask on
+    the q side only:
+
+        s_h   = (q_blk * mask_h) @ k_blk^T     (zeroed lanes kill the
+                                                cross-head inner products)
+        gh_h  = (q_blk * mask_h) @ RhP^T       (RhP = [Rh | Rh ...] lane-
+                                                tiled G times)
+        o_blk = sum_h P_h @ (v_blk * mask_h)   (heads land packed in their
+                                                own d-wide output lanes)
+
+    2x nominal QK/AV MACs at G=2 — cheaper than the relayout they replace.
+    Rel-pos bias via the same static-mask MXU algebra as
+    _win_kernel_packed."""
+    N = ws * ws
+    qj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    jk = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    m_h = qj // ws == jk // ws
+    m_w = qj % ws == jk // ws
+    e_h = (qj % ws == jk // ws)
+    e_w = (qj % ws == jk % ws)
+    dt = q_ref.dtype
+    e_h = e_h.astype(dt)
+    e_w = e_w.astype(dt)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (N, G * d), 1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = jnp.zeros((N, G * d), jnp.float32)
+    for h in range(G):
+        mask = (lanes // d == h).astype(dt)
+        qh = q * mask
+        s = jax.lax.dot_general(
+            qh, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        gh = jax.lax.dot_general(
+            qh, rhp_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gw = jax.lax.dot_general(
+            qh, rwp_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ghm = jnp.where(m_h, gh, 0.0).astype(dt)
+        gwm = jnp.where(m_w, gw, 0.0).astype(dt)
+        s = s + jax.lax.dot_general(
+            ghm, e_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + jax.lax.dot_general(
+            gwm, e_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = o + jax.lax.dot_general(
+            p.astype(dt), v * mask, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def window_attention_laneblock_fwd(qkv_dense, rh_full, rw_full, ws: int,
+                                   scale: float, num_heads: int,
+                                   group: int = 2, interpret: bool = False):
+    """qkv_dense: (Wn, N, 3*num_heads*d) — the qkv projection output,
+    UNTOUCHED (s-major feature order). rh_full/rw_full: (N, d) get_rel_pos
+    tables. Returns (Wn, N, num_heads*d) packed output."""
+    Wn, N, F = qkv_dense.shape
+    d = F // (3 * num_heads)
+    assert N == ws * ws and F == 3 * num_heads * d
+    G = group
+    while num_heads % G:
+        G -= 1
+    rhp = jnp.concatenate([rh_full] * G, axis=1)  # (N, G*d) loop-invariant
+    rwp = jnp.concatenate([rw_full] * G, axis=1)
+    ngrp = num_heads // G
+    blk = (1, N, G * d)
+    out = pl.pallas_call(
+        functools.partial(_win_kernel_laneblock, G, ws, d, scale),
+        grid=(Wn, ngrp),
+        in_specs=[
+            pl.BlockSpec(blk, lambda w, g: (w, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda w, g: (w, 0, ngrp + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda w, g: (w, 0, 2 * ngrp + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, G * d), lambda w, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, G * d), lambda w, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda w, g: (w, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wn, N, num_heads * d),
+                                       qkv_dense.dtype),
+        interpret=interpret,
+    )(qkv_dense, qkv_dense, qkv_dense, rhp, rwp)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_window_attn_laneblock(ws, scale, num_heads, group, interpret):
+    from .attention import attention_with_decomposed_rel_pos, get_rel_pos
+
+    @jax.custom_vjp
+    def fn(qkv_dense, rph, rpw):
+        N = ws * ws
+        d = qkv_dense.shape[-1] // (3 * num_heads)
+        rh = get_rel_pos(ws, ws, rph).reshape(N, d).astype(qkv_dense.dtype)
+        rw = get_rel_pos(ws, ws, rpw).reshape(N, d).astype(qkv_dense.dtype)
+        return window_attention_laneblock_fwd(
+            qkv_dense, rh, rw, ws, scale, num_heads, group=group,
+            interpret=interpret,
+        )
+
+    def fwd(qkv_dense, rph, rpw):
+        return fn(qkv_dense, rph, rpw), (qkv_dense, rph, rpw)
+
+    def bwd(res, g):
+        qkv_dense, rph, rpw = res
+        Wn, N, F = qkv_dense.shape
+        d = F // (3 * num_heads)
+
+        def ref(qd, rph_, rpw_):
+            qkvt = qd.reshape(Wn, N, 3, num_heads, d).transpose(
+                2, 0, 3, 1, 4).reshape(3, Wn * num_heads, N, d)
+            o = attention_with_decomposed_rel_pos(
+                qkvt[0], qkvt[1], qkvt[2], rph_, rpw_, (ws, ws), scale
+            )
+            o = o.reshape(Wn, num_heads, N, d)
+            return o.transpose(0, 2, 1, 3).reshape(Wn, N, num_heads * d)
+
+        _, vjp = jax.vjp(ref, qkv_dense, rph, rpw)
+        return vjp(g.astype(qkv_dense.dtype))
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def window_attention_laneblock(qkv_dense, rel_pos_h, rel_pos_w, ws: int,
+                               scale: float, num_heads: int, group: int = 2,
+                               interpret: bool = False):
+    """Differentiable lane-blocked window attention consuming the raw qkv
+    projection output (Wn, N, 3*heads*d): Pallas forward, dense XLA VJP."""
+    return _make_diff_window_attn_laneblock(
+        ws, float(scale), num_heads, group, interpret
+    )(qkv_dense, rel_pos_h, rel_pos_w)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_diff_window_attn(ws, scale, group, interpret):
     from .attention import attention_with_decomposed_rel_pos

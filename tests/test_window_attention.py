@@ -100,3 +100,53 @@ def test_packed_window_attn_matches_dense(ws, windows, heads, group):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ws,windows,heads,group", [(7, 3, 4, 2),
+                                                    (14, 2, 16, 2),
+                                                    (14, 2, 16, 4)])
+def test_laneblock_window_attn_matches_dense(ws, windows, heads, group):
+    """Lane-blocked variant (the sam_vit win_lane path): consumes the RAW
+    qkv projection output (Wn, N, 3*heads*d) with no head-split transpose;
+    masked wide dots must equal per-head dense attention, and the custom
+    vjp must match dense grads."""
+    from multimodal_sam_adapter_tpu.ops.window_attention import (
+        window_attention_laneblock,
+    )
+
+    d = 32
+    B = windows * heads
+    q, k, v, rph, rpw = _inputs(ws, B, d, seed=5)
+    scale = d ** -0.5
+    N = ws * ws
+    want = np.asarray(attention_with_decomposed_rel_pos(
+        q, k, v, rph, rpw, (ws, ws), scale))
+    want = want.reshape(windows, heads, N, d).transpose(0, 2, 1, 3)
+    want = want.reshape(windows, N, heads * d)
+
+    def to_dense(q, k, v):
+        # (3, Wn*H, N, d) -> the raw projection layout (Wn, N, 3*H*d)
+        qkvt = jnp.stack([q, k, v])
+        return (qkvt.reshape(3, windows, heads, N, d)
+                .transpose(1, 3, 0, 2, 4).reshape(windows, N, 3 * heads * d))
+
+    got = np.asarray(window_attention_laneblock(
+        to_dense(q, k, v), rph, rpw, ws, scale, num_heads=heads,
+        group=group, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_lane(q, k, v, rph, rpw):
+        return jnp.sum(window_attention_laneblock(
+            to_dense(q, k, v), rph, rpw, ws, scale, num_heads=heads,
+            group=group, interpret=True) ** 2)
+
+    def loss_dense(q, k, v, rph, rpw):
+        o = attention_with_decomposed_rel_pos(q, k, v, rph, rpw, (ws, ws),
+                                              scale)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_lane, (0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    g2 = jax.grad(loss_dense, (0, 1, 2, 3, 4))(q, k, v, rph, rpw)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
