@@ -113,11 +113,12 @@ class ViTAttention(nn.Module):
             if on_tpu and big and aligned:
                 impl = "flash"
             elif on_tpu and H == W and H * W <= 1024 and self.use_rel_pos:
-                # windowed blocks: fused single-tile kernel (the dense path
-                # round-trips the 61 MB score tensor through HBM per block).
+                # windowed blocks: lane-blocked kernel straight off the qkv
+                # projection (0.522 vs 0.706 ms/block for transpose +
+                # packed kernel, scripts/tpu_winattn_laneblock_probe.py).
                 # MSA_WIN_IMPL is a trace-time A/B knob for the windowed
                 # kernel choice only (win_fused | win_lane)
-                impl = os.environ.get("MSA_WIN_IMPL", "win_fused")
+                impl = os.environ.get("MSA_WIN_IMPL", "win_lane")
             else:
                 impl = "dense"
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
