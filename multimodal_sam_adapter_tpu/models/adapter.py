@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..nn.layers import DropPath, LayerNorm, fan_out_conv_init, trunc_normal_init
+from ..nn.layers import (DropPath, LayerNorm, fan_out_conv_init, gelu,
+                         trunc_normal_init)
 from ..ops.msda import MSDeformAttention
 from .fusion_neck import RoadFormer2Neck
 from .sam_vit import ViTBlock
@@ -104,7 +105,7 @@ class ConvFFN(nn.Module):
                      kernel_init=trunc_normal_init(0.02), name="fc1")(x)
         x = DWConvMS(dim=self.hidden, hw=self.hw, dtype=self.dtype,
                      name="dwconv")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init(0.02), name="fc2")(x)
         return x

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import (BatchNorm, GroupNorm, LayerNorm, Scale, Scale2,
+from ..nn.layers import (BatchNorm, GroupNorm, LayerNorm, Scale, Scale2, gelu,
                          _LNCore, h_swish)
 
 
@@ -270,7 +270,7 @@ class GatedDWConvMlp(nn.Module):
         v = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_in_val")(x)
         v = PairedDWConv(hidden, dtype=self.dtype, name="dwconv_val")(v)
-        x = nn.gelu(g, approximate=False) * v
+        x = gelu(g) * v
         return nn.Conv(self.in_features, (1, 1), use_bias=False,
                        dtype=self.dtype, name="project_out")(x)
 

@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.layers import DropPath, LayerNorm, trunc_normal_init
+from ..nn.layers import DropPath, LayerNorm, gelu, trunc_normal_init
 
 CONVNEXT_ARCHS = {
     "atto": {"depths": (2, 2, 6, 2), "channels": (40, 80, 160, 320)},
@@ -115,7 +115,7 @@ class ConvNeXtBlock(nn.Module):
         x = conv(x)
         x = norm(x)
         x = fc1(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = fc2(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

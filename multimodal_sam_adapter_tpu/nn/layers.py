@@ -33,6 +33,26 @@ def fan_out_conv_init(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / fan_out)
 
 
+def gelu(x):
+    """GELU with dtype-matched precision/speed.
+
+    f32 (CPU tests, parity paths): exact erf — bit-matches torch
+    nn.GELU() (reference base/image_encoder.py:154-167, twin ConvNeXt,
+    adapter ConvFFN all use the exact form).
+
+    bf16 (the TPU inference/training dtype): tanh form. XLA's exact-erf
+    lowering carries an erfc/exp branch that rate-limits every MLP output
+    fusion to ~66 M elements/ms — 0.342 vs 0.193 ms (matmul alone) on the
+    flagship ViT fc1, an ~11 ms/forward tax across ViT + twin ConvNeXt +
+    ConvFFN (scripts/tpu_gelu_probe.py). The tanh form fuses at matmul
+    rate, and its deviation from exact (max 5e-4 absolute) is far below
+    the ~4e-3 relative rounding bf16 itself applies to every operand
+    downstream.
+    """
+    exact = x.dtype != jnp.bfloat16
+    return nn.gelu(x, approximate=not exact)
+
+
 def _matmul_moments(x, axis: int = -1):
     """(mean, E[x^2]) over `axis` computed as an MXU matmul.
 
@@ -157,7 +177,7 @@ class MLPBlock(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(d, dtype=self.dtype, name="lin2")(x)
         return x
 
@@ -242,7 +262,7 @@ class ConvNormAct(nn.Module):
         elif self.act == "relu6":
             x = jnp.clip(x, 0.0, 6.0)
         elif self.act == "gelu":
-            x = nn.gelu(x, approximate=False)
+            x = gelu(x)
         elif self.act == "sigmoid":
             x = nn.sigmoid(x)
         return x
