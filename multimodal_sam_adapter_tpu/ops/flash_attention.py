@@ -275,7 +275,7 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
 
 
 def flash_attention_rel_pos_diff(qkvt, rph, rpw, q_hw, scale,
-                                 block_q: int = 512, block_k_rows: int = 32,
+                                 block_q: int = 512, block_k_rows: int = 64,
                                  interpret: bool = False):
     """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
     (one block's dense attention at a time under the stage remat).

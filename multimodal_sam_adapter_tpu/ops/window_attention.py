@@ -267,6 +267,13 @@ def _win_kernel_laneblock(G: int, ws: int, d: int, scale: float,
     2x nominal QK/AV MACs at G=2 — cheaper than the relayout they replace.
     Rel-pos bias via the same static-mask MXU algebra as
     _win_kernel_packed."""
+    o_ref[0] = _laneblock_body(G, ws, d, scale, q_ref[0], k_ref[0],
+                               v_ref[0], rhp_ref[...],
+                               rwp_ref[...]).astype(o_ref.dtype)
+
+
+def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
+    """One window x G heads of lane-blocked attention on VMEM arrays."""
     N = ws * ws
     qj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
     jk = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
@@ -274,13 +281,10 @@ def _win_kernel_laneblock(G: int, ws: int, d: int, scale: float,
     m_w = qj % ws == jk // ws
     e_h = (qj % ws == jk // ws)
     e_w = (qj % ws == jk % ws)
-    dt = q_ref.dtype
+    dt = q.dtype
     e_h = e_h.astype(dt)
     e_w = e_w.astype(dt)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (N, G * d), 1)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
     o = jnp.zeros((N, G * d), jnp.float32)
     for h in range(G):
         mask = (lanes // d == h).astype(dt)
@@ -290,11 +294,11 @@ def _win_kernel_laneblock(G: int, ws: int, d: int, scale: float,
             preferred_element_type=jnp.float32,
         ) * scale
         gh = jax.lax.dot_general(
-            qh, rhp_ref[...], (((1,), (1,)), ((), ())),
+            qh, rhp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         gw = jax.lax.dot_general(
-            qh, rwp_ref[...], (((1,), (1,)), ((), ())),
+            qh, rwp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ghm = jnp.where(m_h, gh, 0.0).astype(dt)
@@ -314,7 +318,7 @@ def _win_kernel_laneblock(G: int, ws: int, d: int, scale: float,
             p.astype(dt), v * mask, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    o_ref[0] = o.astype(o_ref.dtype)
+    return o
 
 
 def window_attention_laneblock_fwd(qkv_dense, rh_full, rw_full, ws: int,

@@ -46,9 +46,10 @@ v = jax.random.normal(key, (B, N, d), jnp.bfloat16)
 rph = jax.random.normal(key, (127, d), jnp.bfloat16) * 0.5
 rpw = jax.random.normal(key, (127, d), jnp.bfloat16) * 0.5
 
-for bq in (512, 1024, 2048):
-    for bkr in (16, 32, 64):
+qkvt = jnp.stack([q, k, v])
+for bq in (512, 1024, 2048, 4096):
+    for bkr in (32, 64, 128):
         measure(f"flash bq={bq} rows={bkr}", lambda c, bq=bq, bkr=bkr: jnp.sum(
-            flash_attention_rel_pos(q + c, k, v, rph, rpw, (H, H), 0.125,
-                                    block_q=bq, block_k_rows=bkr)
+            flash_attention_rel_pos(qkvt.at[0].add(c), rph, rpw, (H, H),
+                                    0.125, block_q=bq, block_k_rows=bkr)
             .astype(jnp.float32)))

@@ -120,3 +120,61 @@ def measure(name, fn, *args, n_big=17):
 measure("path A (transpose + packed kernel)", path_a, x)
 for g in (2, 4, 8):
     measure(f"path B (laneblock g={g})", make_path_b(g), x)
+
+
+# ---- variant: multiple windows per grid step (fewer, fatter steps)
+import functools
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from multimodal_sam_adapter_tpu.ops.window_attention import (
+    _laneblock_body,
+)
+
+
+def _mw_kernel(WB, G, ws, d, scale, q_ref, k_ref, v_ref, rhp, rwp, o_ref):
+    for wi in range(WB):
+        o_ref[wi] = _laneblock_body(
+            G, ws, d, scale, q_ref[wi], k_ref[wi], v_ref[wi],
+            rhp[...], rwp[...]).astype(o_ref.dtype)
+
+
+def laneblock_mw(qkv_dense, rh, rw, ws, scale, num_heads, group=2, wb=5):
+    Wn, N, F = qkv_dense.shape
+    d = F // (3 * num_heads)
+    G = group
+    rhp = jnp.concatenate([rh] * G, axis=1)
+    rwp = jnp.concatenate([rw] * G, axis=1)
+    ngrp = num_heads // G
+    blk = (wb, N, G * d)
+    return pl.pallas_call(
+        functools.partial(_mw_kernel, wb, G, ws, d, scale),
+        grid=(Wn // wb, ngrp),
+        in_specs=[
+            pl.BlockSpec(blk, lambda w, g: (w, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda w, g: (w, 0, ngrp + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda w, g: (w, 0, 2 * ngrp + g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, G * d), lambda w, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, G * d), lambda w, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda w, g: (w, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Wn, N, num_heads * d),
+                                       qkv_dense.dtype),
+    )(qkv_dense, qkv_dense, qkv_dense, rhp, rwp)
+
+
+for wb in (5, 25):
+    for g in (2, 4):
+        def pb(x, wb=wb, g=g):
+            qkv = x @ wqkv
+            return laneblock_mw(qkv, rh, rw, ws, scale, num_heads=Hh,
+                                group=g, wb=wb)
+        got = pb(x).astype(jnp.float32)
+        print(f"mw wb={wb} g={g} err {float(jnp.max(jnp.abs(got-ref))):.5f}",
+              flush=True)
+        measure(f"path B-mw (wb={wb} g={g})", pb, x)
