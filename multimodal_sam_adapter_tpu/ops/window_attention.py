@@ -321,25 +321,42 @@ def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
     return o
 
 
+def _win_kernel_laneblock_mw(WB, G, ws, d, scale,
+                             q_ref, k_ref, v_ref, rhp_ref, rwp_ref, o_ref):
+    for wi in range(WB):
+        o_ref[wi] = _laneblock_body(
+            G, ws, d, scale, q_ref[wi], k_ref[wi], v_ref[wi],
+            rhp_ref[...], rwp_ref[...]).astype(o_ref.dtype)
+
+
 def window_attention_laneblock_fwd(qkv_dense, rh_full, rw_full, ws: int,
                                    scale: float, num_heads: int,
-                                   group: int = 2, interpret: bool = False):
+                                   group: int = 2, win_block: int = 5,
+                                   interpret: bool = False):
     """qkv_dense: (Wn, N, 3*num_heads*d) — the qkv projection output,
     UNTOUCHED (s-major feature order). rh_full/rw_full: (N, d) get_rel_pos
-    tables. Returns (Wn, N, num_heads*d) packed output."""
+    tables. Returns (Wn, N, num_heads*d) packed output.
+
+    win_block windows are processed per grid step (fatter steps pipeline
+    better: 0.385 vs 0.522 ms/block at wb=5 vs 1, flagship geometry —
+    scripts/tpu_winattn_laneblock_probe.py); the largest divisor of Wn
+    <= win_block is used."""
     Wn, N, F = qkv_dense.shape
     d = F // (3 * num_heads)
     assert N == ws * ws and F == 3 * num_heads * d
     G = group
     while num_heads % G:
         G -= 1
+    WB = min(win_block, Wn)
+    while Wn % WB:
+        WB -= 1
     rhp = jnp.concatenate([rh_full] * G, axis=1)  # (N, G*d) loop-invariant
     rwp = jnp.concatenate([rw_full] * G, axis=1)
     ngrp = num_heads // G
-    blk = (1, N, G * d)
+    blk = (WB, N, G * d)
     out = pl.pallas_call(
-        functools.partial(_win_kernel_laneblock, G, ws, d, scale),
-        grid=(Wn, ngrp),
+        functools.partial(_win_kernel_laneblock_mw, WB, G, ws, d, scale),
+        grid=(Wn // WB, ngrp),
         in_specs=[
             pl.BlockSpec(blk, lambda w, g: (w, 0, g),
                          memory_space=pltpu.VMEM),
