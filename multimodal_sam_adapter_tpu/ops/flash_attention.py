@@ -33,6 +33,37 @@ from .attention import rel_pos_bias_terms
 
 NEG_INF = -1e30
 
+# Scoped-VMEM budget for the (Tq, Tk) f32 working tiles. The v5e scoped
+# limit is 16 MB for the whole kernel invocation (q/k/v/bias tiles +
+# double-buffering included); the dominant cost is the two live
+# (Tq, Tk) f32 tiles (scores + probs), so we cap their combined size at
+# 8 MB — i.e. Tq * Tk <= 2^20 elements — which matches the known-good
+# (block_q=512, block_k=2048) configuration and leaves ~8 MB for
+# operand tiles and pipelining. Round-3 regression: flipping the
+# default to block_k_rows=64 at block_q=512 (Tq*Tk = 2^21) compiled in
+# isolation but busted scoped VMEM by 120 KB inside the full model.
+# Rule (docs/DESIGN.md): no kernel-default change lands without a
+# full-model on-chip A/B.
+_MAX_TILE_ELEMS = 512 * 2048
+
+
+def _clamp_flash_tiles(N: int, H: int, W: int,
+                       block_q: int, block_k_rows: int):
+    """Shrink (block_q, block_k_rows) until the (Tq, Tk) product fits the
+    scoped-VMEM budget, preferring to shrink the k-tile first (the q-tile
+    amortizes the rel-pos term loads)."""
+    block_q = min(block_q, N)
+    while N % block_q:
+        block_q -= 1
+    rows = min(block_k_rows, H)
+    while H % rows:
+        rows -= 1
+    while block_q * rows * W > _MAX_TILE_ELEMS and rows > 1:
+        rows = max(r for r in range(1, rows) if H % r == 0)
+    while block_q * rows * W > _MAX_TILE_ELEMS and block_q > 128:
+        block_q = max(b for b in range(128, block_q) if N % b == 0)
+    return block_q, rows
+
 
 def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
                   q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
@@ -145,12 +176,8 @@ def flash_attention_rel_pos(
     rel_h = rel_h.reshape(B, N, H)
     rel_w = rel_w.reshape(B, N, W)
 
-    block_q = min(block_q, N)
-    rows = min(block_k_rows, H)
-    while H % rows:
-        rows -= 1
+    block_q, rows = _clamp_flash_tiles(N, H, W, block_q, block_k_rows)
     block_k = rows * W
-    grid = (B, N // block_q if N % block_q == 0 else -1, H // rows)
     assert N % block_q == 0, "N must divide block_q for the global grid"
 
     out = pl.pallas_call(
@@ -275,7 +302,7 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
 
 
 def flash_attention_rel_pos_diff(qkvt, rph, rpw, q_hw, scale,
-                                 block_q: int = 512, block_k_rows: int = 64,
+                                 block_q: int = 512, block_k_rows: int = 32,
                                  interpret: bool = False):
     """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
     (one block's dense attention at a time under the stage remat).
