@@ -563,14 +563,27 @@ class TestPipeline:
         self.modalities_ch = tuple(modalities_ch)
         self.pad_size = pad_size
 
-    def __call__(self, sample: Dict) -> Dict:
+    def __call__(self, sample: Dict, scale_ratio: float = 1.0) -> Dict:
+        """scale_ratio != 1 implements the reference's MultiScaleFlipAug
+        img_ratios (test.py:135-140 under --aug-test): the test img_scale
+        is multiplied by the ratio before the deterministic resize."""
         c = self.cfg
         sample.setdefault("meta", {})["ori_shape"] = sample["img"].shape
         if c.get("resize"):
+            scale = c["resize"]["img_scale"]
+            if scale_ratio != 1.0:
+                scale = (int(scale[0] * scale_ratio),
+                         int(scale[1] * scale_ratio))
             sample = resize_multimodal(
-                sample, c["resize"]["img_scale"],
+                sample, scale,
                 keep_ratio=c["resize"].get("keep_ratio", True),
                 seg_scale=c["resize"].get("seg_scale"),
+            )
+        elif scale_ratio != 1.0:
+            H, W = sample["img"].shape[:2]
+            sample = resize_multimodal(
+                sample, (int(W * scale_ratio), int(H * scale_ratio)),
+                keep_ratio=True,
             )
         if c.get("pad"):
             # pad-BEFORE-normalize (the FMB quirk, reference

@@ -27,10 +27,17 @@ def _ckptr():
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1,
-                    tag: Optional[str] = None):
+                    tag: Optional[str] = None,
+                    meta: Optional[Dict[str, Any]] = None):
     """Save {'step', 'params', 'batch_stats', 'opt_state'} under
-    ckpt_dir/step_<N> (or ckpt_dir/<tag>)."""
-    import orbax.checkpoint as ocp
+    ckpt_dir/step_<N> (or ckpt_dir/<tag>).
+
+    meta: self-describing checkpoint metadata (config name + text, CLASSES,
+    PALETTE, version), mirroring the reference's checkpoint meta
+    (reference train.py:203-210, read back by test.py as
+    model.CLASSES/PALETTE). Stored as meta.json inside the checkpoint dir
+    so it survives orbax round-trips and stays human-readable."""
+    import json
 
     os.makedirs(ckpt_dir, exist_ok=True)
     name = tag or f"step_{step}"
@@ -42,6 +49,9 @@ def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1,
         "opt_state": jax.device_get(state.opt_state),
     }
     _ckptr().save(path, payload, force=True)
+    if meta is not None:
+        with open(osp.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
     if tag is None and max_keep > 0:
         steps = sorted(
             (int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
@@ -55,7 +65,14 @@ def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1,
 
 
 def restore_checkpoint(path: str) -> Dict[str, Any]:
-    return _ckptr().restore(osp.abspath(path))
+    import json
+
+    payload = _ckptr().restore(osp.abspath(path))
+    meta_path = osp.join(osp.abspath(path), "meta.json")
+    if osp.exists(meta_path):
+        with open(meta_path) as f:
+            payload["meta"] = json.load(f)
+    return payload
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

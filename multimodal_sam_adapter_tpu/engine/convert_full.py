@@ -136,6 +136,9 @@ def _map_neck(params, stats, rest, v):
         # dwconv 2-ch groups never straddle the halves) — slice the
         # reference's fused weight along its HWIO output axis
         w = t_conv(v)
+        assert w.shape[-1] % 2 == 0, (
+            f"detail_feature_extractions.{i}.{which}: fused width "
+            f"{w.shape[-1]} must be even to split into gate/val halves")
         h = w.shape[-1] // 2
         sub = {"project_in": "project_in", "dwconv": "dwconv"}[which]
         _set(params, (f"detail{i}", f"{sub}_gate", "kernel"), w[..., :h])

@@ -56,8 +56,8 @@ class Evaluator:
     def run(self, pipeline=None, max_samples: Optional[int] = None,
             format_only: bool = False, show: bool = False,
             opacity: float = 0.5, progress_every: int = 50,
-            batch_size: int = 1, shard: Optional[Tuple[int, int]] = None
-            ) -> Dict:
+            batch_size: int = 1, shard: Optional[Tuple[int, int]] = None,
+            aug_cfg: Optional[Dict] = None) -> Dict:
         """Evaluate the (sharded slice of the) dataset.
 
         shard: (rank, world) — this process evaluates indices rank::world
@@ -70,6 +70,12 @@ class Evaluator:
         forward (reference multi_gpu_test batches via samples_per_gpu);
         slide mode stays batch-1 (each image already fans out into a
         window batch).
+
+        aug_cfg: {'ratios': [...], 'flip': bool} enables multi-scale +
+        flip TTA (reference test.py:135-140 MultiScaleFlipAug under
+        --aug-test): per sample, softmax outputs are averaged over all
+        (ratio x flip) augmentations before argmax. Forces batch_size 1
+        (each scale is a distinct shape).
         """
         import jax
 
@@ -82,10 +88,13 @@ class Evaluator:
         n = len(self.dataset) if max_samples is None else min(
             max_samples, len(self.dataset)
         )
-        if self.engine.test_cfg.get("mode") == "slide":
+        if self.engine.test_cfg.get("mode") in ("slide", "slide_mod_sel"):
             batch_size = 1
+        if aug_cfg:
+            batch_size = 1
+        warned_mismatch = [False]
 
-        def handle(idx, sample, gt, pred):
+        def handle(idx, sample, gt, pred, img=None, valid_hw=None):
             if show and self.out_dir:
                 # palette-blended dump under prediction/<condition>/<case>/
                 # (reference test_bs.py:290-316)
@@ -107,14 +116,35 @@ class Evaluator:
             if gt is None:
                 return
             if pred.shape != gt.shape:
-                # reference resizes *logits* to eval dim; pred already matches
-                # the configured dim; resize gt-space mismatch by nearest
-                import cv2
+                # Shapes aligned configs never hit this. When they don't,
+                # match the reference: resize the MODE OUTPUT bilinearly
+                # pre-argmax (encoder_decoder.py:329-414 resizes logits to
+                # ori_shape), not the argmax map — and say so loudly, since
+                # a silently-firing fallback skews metrics.
+                if not warned_mismatch[0]:
+                    print(f"WARNING: prediction shape {pred.shape} != GT "
+                          f"shape {gt.shape}; re-running inference and "
+                          f"bilinearly resizing the class probabilities to "
+                          f"the GT grid (reference logits-resize semantics). "
+                          f"Check test_cfg dim vs the dataset's label size.",
+                          flush=True)
+                    warned_mismatch[0] = True
+                if img is not None:
+                    from ..utils.interpolate import resize_bilinear
 
-                pred = cv2.resize(
-                    pred.astype(np.int32), (gt.shape[1], gt.shape[0]),
-                    interpolation=cv2.INTER_NEAREST,
-                )
+                    probs = self.engine.inference(
+                        jnp.asarray(img)[None], ori_shape=None,
+                        valid_hw=valid_hw)
+                    probs = resize_bilinear(probs, gt.shape[:2])
+                    pred = np.asarray(
+                        jnp.argmax(probs, axis=-1), dtype=np.int64)[0]
+                else:
+                    import cv2
+
+                    pred = cv2.resize(
+                        pred.astype(np.int32), (gt.shape[1], gt.shape[0]),
+                        interpolation=cv2.INTER_NEAREST,
+                    )
             hist = intersect_and_union(
                 pred, gt, self.num_classes, self.ignore_index
             )
@@ -133,14 +163,54 @@ class Evaluator:
             preds = self.engine.predict(
                 jnp.asarray(imgs), ori_shape=None, valid_hw=buf[0][4]
             )
-            for (idx, sample, gt, _, _), pred in zip(buf, preds):
-                handle(idx, sample, gt, pred)
+            for (idx, sample, gt, img, vhw), pred in zip(buf, preds):
+                handle(idx, sample, gt, pred, img=img, valid_hw=vhw)
             buf.clear()
+
+        def aug_predict(raw):
+            """Multi-scale + flip TTA for one sample: average the softmax
+            over all augmentations (reference MultiScaleFlipAug +
+            encoder_decoder.py:509-546 aug_test)."""
+            ratios = list(aug_cfg.get("ratios") or [1.0])
+            flips = [False, True] if aug_cfg.get("flip") else [False]
+            ori_hw = tuple(raw["img"].shape[:2])
+            acc = None
+            for r in ratios:
+                s = dict(raw)
+                s["meta"] = dict(raw.get("meta") or {})
+                s["img"] = np.array(raw["img"])
+                if pipeline is not None:
+                    s = pipeline(s, scale_ratio=r)
+                elif r != 1.0:
+                    from ..data.pipelines import resize_multimodal
+
+                    H0, W0 = s["img"].shape[:2]
+                    s = resize_multimodal(
+                        s, (int(W0 * r), int(H0 * r)), keep_ratio=True)
+                base = s["img"]
+                for fl in flips:
+                    arr = np.ascontiguousarray(base[:, ::-1]) if fl else base
+                    img, valid = _pad_for_model(arr)
+                    p = self.engine.inference(
+                        jnp.asarray(img)[None], ori_shape=ori_hw,
+                        flip=fl, valid_hw=valid,
+                    )
+                    acc = p if acc is None else acc + p
+            acc = acc / (len(ratios) * len(flips))
+            return np.asarray(jnp.argmax(acc, axis=-1), dtype=np.int64)[0]
 
         done = 0
         for i in range(rank, n, world):
             sample = self.dataset[i]
             gt = sample.get("gt")
+            if aug_cfg:
+                pred = aug_predict(sample)
+                handle(i, sample, gt, pred)
+                done += 1
+                if progress_every and done % progress_every == 0:
+                    print(f"eval {done}/{(n - rank + world - 1) // world}",
+                          flush=True)
+                continue
             if pipeline is not None:
                 sample = pipeline(sample)
             img, ori_hw = _pad_for_model(sample["img"])

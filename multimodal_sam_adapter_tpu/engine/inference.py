@@ -162,7 +162,16 @@ class InferenceEngine:
         elif mode == "whole_dim_cut":
             out = self.whole_dim_cut(img, cfg["dim"], cfg["cut_dim"],
                                      cfg.get("rescale", False), valid_hw)
-        elif mode == "slide":
+        elif mode in ("slide", "slide_mod_sel"):
+            # slide_mod_sel (reference encoder_decoder.py:236-310,438): slide
+            # inference that additionally averages a per-window modality
+            # -selector map when the decode head emits one. For every shipped
+            # model the selector is (None,) (encode_decode_test returns
+            # (logits, (None,))), so the observable behavior reduces to plain
+            # slide; this engine accepts the mode string for config parity
+            # and would surface `self.mod_sel` if a selector-emitting head
+            # were added.
+            self.mod_sel = None
             out = self.slide(img, tuple(cfg["crop_size"]), tuple(cfg["stride"]))
             out = self._crop_valid(out, valid_hw)
             if ori_shape is not None and tuple(ori_shape) != out.shape[1:3]:

@@ -116,6 +116,7 @@ class EpochRunner:
         early_stopping: Optional[EarlyStopping] = None,
         log_interval: int = 50,
         rng=None,
+        ckpt_meta: Optional[Dict] = None,
     ):
         self.state = state
         self.train_step = train_step
@@ -130,6 +131,9 @@ class EpochRunner:
         self.early_stopping = early_stopping
         self.logger = TrainLogger(work_dir, log_interval)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # self-describing ckpt meta (config/CLASSES/PALETTE), reference
+        # train.py:203-210
+        self.ckpt_meta = ckpt_meta
         self.start_epoch = 0
         self.best_metric = -np.inf
         self.stop_training = False
@@ -173,7 +177,7 @@ class EpochRunner:
                     break
             if (epoch + 1) % self.ckpt_interval == 0:
                 save_checkpoint(ckpt_dir, self.state, int(self.state.step),
-                                self.max_keep_ckpts)
+                                self.max_keep_ckpts, meta=self.ckpt_meta)
             if self.eval_fn and (epoch + 1) % self.eval_interval == 0:
                 summary = self.eval_fn(self.state)
                 self.logger.log_eval(epoch, summary)
@@ -182,7 +186,8 @@ class EpochRunner:
                 if self.save_best and val > self.best_metric:
                     self.best_metric = val
                     save_checkpoint(ckpt_dir, self.state,
-                                    int(self.state.step), 0, tag="best")
+                                    int(self.state.step), 0, tag="best",
+                                    meta=self.ckpt_meta)
                 if self.early_stopping and self.early_stopping.update(summary):
                     print(f"early stopping at epoch {epoch}")
                     self.stop_training = True

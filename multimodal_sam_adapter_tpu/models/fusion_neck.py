@@ -264,6 +264,13 @@ class GatedDWConvMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.in_features * self.ffn_expansion_factor)
+        # the gate/val half-split is only math-identical to the reference's
+        # fused (2*hidden) conv when no dwconv 2-ch group straddles the
+        # halves, i.e. hidden must be even (all shipped configs: factor 1.0,
+        # even channels)
+        assert hidden % 2 == 0, (
+            f"GatedDWConvMlp requires even hidden dim for the half-split "
+            f"rewrite, got {hidden}")
         g = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_in_gate")(x)
         g = PairedDWConv(hidden, dtype=self.dtype, name="dwconv_gate")(g)

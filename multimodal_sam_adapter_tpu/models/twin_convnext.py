@@ -91,7 +91,8 @@ class ConvNeXtBlock(nn.Module):
             # a tiny slice (flax creates params at first call; shapes only
             # depend on the channel dim), then hand the weights to the
             # fused kernel — checkpoints/converter stay impl-agnostic
-            probe = x[:1, :8, :8, :]
+            # shapes only depend on the channel dim; guard tiny inputs
+            probe = x[:1, : min(8, x.shape[1]), : min(8, x.shape[2]), :]
             _ = fc2(fc1(norm(conv(probe))))
             p = {name: m.variables["params"]
                  for name, m in (("dw", conv), ("norm", norm),

@@ -9,11 +9,16 @@ initializers. Params are fp32; compute dtype is a per-module knob.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# opt-out of the bf16 tanh-GELU speedup (exact-erf everywhere), for
+# reference-parity debugging of bf16 paths
+_FORCE_EXACT_GELU = os.environ.get("MSA_EXACT_GELU", "0") == "1"
 
 
 def trunc_normal_init(std: float = 0.02):
@@ -48,8 +53,11 @@ def gelu(x):
     rate, and its deviation from exact (max 5e-4 absolute) is far below
     the ~4e-3 relative rounding bf16 itself applies to every operand
     downstream.
+
+    Set MSA_EXACT_GELU=1 to force the exact erf form on bf16 too (for
+    reference-parity debugging of bf16 paths).
     """
-    exact = x.dtype != jnp.bfloat16
+    exact = x.dtype != jnp.bfloat16 or _FORCE_EXACT_GELU
     return nn.gelu(x, approximate=not exact)
 
 

@@ -17,6 +17,17 @@ def parse_args():
     p.add_argument("checkpoint", help="orbax checkpoint dir (or 'random')")
     p.add_argument("--data-root", required=True)
     p.add_argument("--eval", nargs="*", default=["mIoU"])
+    p.add_argument("--aug-test", action="store_true",
+                   help="flip + multi-scale TTA (reference test.py:32: "
+                        "img_ratios [0.5,0.75,1.0,1.25,1.5,1.75], flip). "
+                        "NOTE: non-1.0 ratios change the network input "
+                        "size; the smart-fusion GFFM LayerNorm is tied to "
+                        "the feature grid (reference "
+                        "adapter_modules...:240-241 LayerNorm(H*W)), so "
+                        "multi-scale needs a resolution-flexible model — "
+                        "use --aug-ratios 1.0 for flip-only TTA otherwise")
+    p.add_argument("--aug-ratios", nargs="+", type=float, default=None,
+                   help="override the TTA scale ratios (with --aug-test)")
     p.add_argument("--resize-dim", nargs=2, type=int, default=None)
     p.add_argument("--case", nargs="*", default=None)
     p.add_argument("--show-dir", default=None)
@@ -72,18 +83,37 @@ def main():
         payload = restore_checkpoint(args.checkpoint)
         variables = {"params": payload["params"],
                      "batch_stats": payload["batch_stats"]}
+        # self-describing checkpoints: read CLASSES/PALETTE back like the
+        # reference test.py (checkpoint['meta']['CLASSES'/'PALETTE'])
+        meta = payload.get("meta")
+        if meta:
+            if meta.get("config_name") and meta["config_name"] != args.config:
+                print(f"note: checkpoint was trained with config "
+                      f"'{meta['config_name']}', evaluating with "
+                      f"'{args.config}'")
+            if meta.get("CLASSES"):
+                ds.CLASSES = tuple(meta["CLASSES"])
+            if meta.get("PALETTE"):
+                ds.PALETTE = [tuple(c) for c in meta["PALETTE"]]
 
     engine = InferenceEngine(model, variables, cfg["test_cfg"])
     case_aware = args.case is not None or bool(cfg["evaluation"].get("case"))
     ev = Evaluator(engine, ds, m["num_classes"], case_aware=case_aware,
                    out_dir=args.show_dir)
+    aug_cfg = None
+    if args.aug_test:
+        # reference test.py:135-140 hard-codes these under --aug-test
+        ratios = args.aug_ratios or [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
+        aug_cfg = {"ratios": ratios, "flip": True}
     results = ev.run(pipeline=pipe, max_samples=args.max_samples,
                      format_only=args.format_only,
                      show=args.show_dir is not None,
-                     batch_size=args.batch_size)
+                     batch_size=args.batch_size, aug_cfg=aug_cfg)
     ev.print_tables(results)
     stamp = time.strftime("%Y%m%d_%H%M%S")
-    out_json = osp.join(args.show_dir or ".", f"eval_single_scale_{stamp}.json")
+    scale_tag = "multi_scale" if args.aug_test else "single_scale"
+    out_json = osp.join(args.show_dir or ".",
+                        f"eval_{scale_tag}_{stamp}.json")
     payload = {k: v for k, v in results.get("summary", {}).items()}
     # provenance so an artifact can't be mistaken for a different run's
     # (e.g. random-init smoke vs trained weights)
@@ -91,6 +121,7 @@ def main():
         "config": args.config,
         "checkpoint": args.checkpoint,
         "data_root": args.data_root,
+        "aug_test": bool(args.aug_test),
         "n_samples": len(ds) if args.max_samples is None
         else min(args.max_samples, len(ds)),
         "timestamp": stamp,

@@ -88,6 +88,29 @@ def test_train_and_test_cli(fake_deliver, tmp_path):
         return re.search(r"\{'mIoU': ([\d.]+)", s).group(1)
     assert miou(out_b) == miou(out)
 
+    # self-describing checkpoint meta (reference train.py:203-210 stores
+    # config + CLASSES + PALETTE; test.py reads them back)
+    meta_path = osp.join(ckpt, "meta.json")
+    assert osp.exists(meta_path)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["config_name"] == "deliver_tiny"
+    assert meta["CLASSES"] and meta["PALETTE"]
+    assert meta["config"]["model"]["num_classes"] == len(meta["CLASSES"])
+
+    # flip TTA through the CLI (reference test.py --aug-test; ratio 1.0
+    # because the GFFM LayerNorm is tied to the feature grid — same
+    # constraint as the reference model; multi-scale geometry is covered by
+    # tests/test_evaluator_sharding.py with a resolution-flexible engine)
+    out_aug = run_cli(
+        ["test.py", "deliver_tiny", ckpt, "--data-root", fake_deliver,
+         "--eval", "mIoU", "--aug-test", "--aug-ratios", "1.0",
+         "--max-samples", "2"],
+        cwd=scratch,
+    )
+    assert "mIoU" in out_aug
+    assert any(f.startswith("eval_multi_scale") for f in os.listdir(scratch))
+
 
 @pytest.fixture(scope="module")
 def fake_muses(tmp_path_factory):

@@ -77,6 +77,61 @@ def test_shards_sum_to_full(evaluator):
     np.testing.assert_allclose(m["IoU"], full["flat"]["IoU"], equal_nan=True)
 
 
+def test_aug_identity_matches_single_scale(evaluator):
+    """TTA with ratio 1.0 and no flip must reproduce the plain run exactly
+    (the aug path is the same forward plus an average over one term)."""
+    a = evaluator.run(shard=(0, 1))
+    b = evaluator.run(shard=(0, 1), aug_cfg={"ratios": [1.0], "flip": False})
+    np.testing.assert_allclose(a["payload"]["flat"], b["payload"]["flat"])
+    np.testing.assert_allclose(a["payload"]["nested"],
+                               b["payload"]["nested"])
+
+
+def test_aug_flip_only_runs(evaluator):
+    """Flip TTA on the real tiny model: works for every config (the input
+    shape is unchanged, so resolution-tied params are safe)."""
+    r = evaluator.run(shard=(0, 1), max_samples=2,
+                      aug_cfg={"ratios": [1.0], "flip": True})
+    assert "mIoU" in r["summary"]
+    assert np.isfinite(r["summary"]["mIoU"])
+
+
+class _StubEngine:
+    """Resolution-flexible engine stub: records the (shape, flip) of every
+    TTA forward and returns uniform probs on the requested output grid.
+    (The real adapter model is resolution-TIED — its GFFM LayerNorm weight
+    is H*W, reference adapter_modules...:240-241 — so multi-scale ratios
+    are exercised here rather than on the tiny model, matching the
+    reference's own constraint.)"""
+
+    test_cfg = {"mode": "whole"}
+
+    def __init__(self):
+        self.calls = []
+
+    def inference(self, img, ori_shape=None, flip=False, valid_hw=None,
+                  **kw):
+        self.calls.append((tuple(img.shape), bool(flip)))
+        H, W = ori_shape
+        return jnp.full((img.shape[0], H, W, K), 1.0 / K, jnp.float32)
+
+
+def test_aug_multiscale_geometry():
+    """Multi-scale + flip TTA (reference --aug-test): one forward per
+    (ratio x flip), scaled inputs (padded to the model quantum), averaged
+    predictions landing on the original grid."""
+    stub = _StubEngine()
+    ev = Evaluator(stub, FakeDataset(2), K, case_aware=True)
+    r = ev.run(shard=(0, 1), aug_cfg={"ratios": [0.5, 1.0], "flip": True})
+    assert "mIoU" in r["summary"]
+    # 2 samples x 2 ratios x 2 flips
+    assert len(stub.calls) == 8
+    shapes = {s for s, _ in stub.calls}
+    # 64x64 at ratio 1.0; 32x32 at 0.5 (both multiples of the pad quantum)
+    assert shapes == {(1, 64, 64, 6), (1, 32, 32, 6)}
+    assert sum(f for _, f in stub.calls) == 4
+
+
 def test_batched_eval_matches_batch1(evaluator):
     a = evaluator.run(batch_size=1, shard=(0, 1))
     b = evaluator.run(batch_size=3, shard=(0, 1))

@@ -7,8 +7,29 @@ from multimodal_sam_adapter_tpu.ops.attention import (
     attention_with_decomposed_rel_pos,
 )
 from multimodal_sam_adapter_tpu.ops.flash_attention import (
+    _MAX_TILE_ELEMS,
+    _clamp_flash_tiles,
     flash_attention_rel_pos,
 )
+
+
+@pytest.mark.parametrize("N,H,W,bq,bkr", [
+    (4096, 64, 64, 512, 32),   # flagship global block, known-good default
+    (4096, 64, 64, 512, 64),   # the r3 regression config: must be clamped
+    (4096, 64, 64, 256, 64),
+    (196, 14, 14, 512, 64),    # windowed geometry
+    (1024, 32, 32, 1024, 64),
+    (4096, 64, 64, 4096, 64),  # absurd q-tile: both dims must shrink
+])
+def test_clamp_flash_tiles_respects_vmem_budget(N, H, W, bq, bkr):
+    """The (Tq, Tk) f32 working-tile product must never exceed the scoped
+    VMEM budget (the r3 bench regression: block_k_rows=64 at block_q=512
+    busted the 16 MB limit inside the full model), and the clamped tiles
+    must still tile the grid exactly."""
+    q, r = _clamp_flash_tiles(N, H, W, bq, bkr)
+    assert q * r * W <= _MAX_TILE_ELEMS
+    assert N % q == 0 and H % r == 0
+    assert 1 <= q <= N and 1 <= r <= H
 
 
 @pytest.mark.parametrize("H,W,blk_q,blk_kr", [(8, 8, 16, 2), (4, 8, 32, 4)])

@@ -81,6 +81,23 @@ def test_flip_tta_averaging(engine_vars):
     assert pred.shape == (1, 64, 64)
 
 
+def test_slide_mod_sel_matches_slide(engine_vars):
+    """slide_mod_sel (reference encoder_decoder.py:236-310,438) reduces to
+    plain slide for every shipped model (the decode head emits no modality
+    selector: encode_decode_test returns (logits, (None,)))."""
+    model, variables = engine_vars
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 128, 64, 6))
+    cfg = dict(crop_size=(64, 64), stride=(32, 64))
+    eng_s = InferenceEngine(model, variables, dict(mode="slide", **cfg))
+    eng_m = InferenceEngine(model, variables,
+                            dict(mode="slide_mod_sel", **cfg))
+    np.testing.assert_allclose(
+        np.asarray(eng_m.inference(img)), np.asarray(eng_s.inference(img)),
+        rtol=1e-6,
+    )
+    assert eng_m.mod_sel is None
+
+
 def test_whole_dim_valid_hw_cuts_pad_before_resize(engine_vars):
     """Evaluator pad semantics: when the input is padded to a static shape,
     the pad band must be cut off the logits BEFORE the whole_dim resize —

@@ -41,6 +41,17 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.deterministic:
+        # Reference apis/train.py:151-168 sets cudnn.deterministic; the XLA
+        # analogue is to forbid non-deterministic reductions/autotuning.
+        # TPU executables are bit-deterministic by construction; the flag
+        # matters for the GPU/CPU backends and must land before jax import.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_gpu_deterministic_ops=true"
+            + " --xla_gpu_autotune_level=0"
+        ).strip()
+        os.environ.setdefault("TF_DETERMINISTIC_OPS", "1")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -153,6 +164,23 @@ def main():
             res = ev.run(pipeline=test_pipe)
             return res.get("summary", {})
 
+    # self-describing checkpoint meta (reference train.py:203-210 stores
+    # mmseg version + config text + CLASSES + PALETTE; test.py reads the
+    # class/palette tables back)
+    import json
+
+    import multimodal_sam_adapter_tpu as pkg
+
+    ckpt_meta = {
+        "version": getattr(pkg, "__version__", "0"),
+        "config_name": args.config,
+        "config": json.loads(json.dumps(cfg, default=str)),
+        "CLASSES": list(getattr(train_ds, "CLASSES", ()) or ()),
+        "PALETTE": [list(c) for c in getattr(train_ds, "PALETTE", ()) or ()],
+        "seed": args.seed,
+        "deterministic": bool(args.deterministic),
+    }
+
     runner = EpochRunner(
         state, step_fn, loader, work_dir,
         max_epochs=cfg["runner"]["max_epochs"],
@@ -163,6 +191,7 @@ def main():
         max_keep_ckpts=cfg["checkpoint"]["max_keep_ckpts"],
         early_stopping=EarlyStopping(),
         rng=jax.random.PRNGKey(args.seed + 1),
+        ckpt_meta=ckpt_meta,
     )
     if args.resume_from or args.auto_resume:
         runner.resume(args.resume_from, auto=args.auto_resume)
