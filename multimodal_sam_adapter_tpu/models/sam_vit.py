@@ -100,12 +100,19 @@ class ViTAttention(nn.Module):
         B, H, W, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        # MSA_ATTN_IMPL is a trace-time debug knob; only honored on 'auto'
+        # MSA_ATTN_IMPL is a trace-time debug knob; only honored on 'auto'.
+        # MSA_FORCE_TPU_IMPL=1 runs the TPU dispatch on any backend and
+        # MSA_PALLAS_INTERPRET=1 runs the Pallas kernels in interpret mode —
+        # together they let CPU tests exercise the exact TPU-default code
+        # path (win_lane + flash), e.g. under a tensor-parallel mesh
+        # (tests/test_tensor_parallel.py).
+        interpret = os.environ.get("MSA_PALLAS_INTERPRET", "0") == "1"
         impl = self.impl
         if impl == "auto":
             impl = os.environ.get("MSA_ATTN_IMPL", "auto")
         if impl == "auto":
-            on_tpu = jax.default_backend() == "tpu"
+            on_tpu = (jax.default_backend() == "tpu"
+                      or os.environ.get("MSA_FORCE_TPU_IMPL", "0") == "1")
             # flash only on lane-aligned global grids (W%64==0); a 48-wide
             # grid miscompiled/crashed the worker on v5e — dense elsewhere
             big = H * W >= 1024 and (H * W) % 256 == 0
@@ -140,6 +147,7 @@ class ViTAttention(nn.Module):
             out = window_attention_laneblock(
                 qkv.reshape(B, H * W, 3 * self.dim),
                 rel_pos_h, rel_pos_w, H, scale, num_heads=self.num_heads,
+                interpret=interpret,
             )
             out = out.reshape(B, H, W, self.dim)
             return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -183,7 +191,8 @@ class ViTAttention(nn.Module):
 
                 # the whole (3, B*heads, N, d) array enters unsliced
                 out = flash_attention_rel_pos_diff(
-                    qkv, rel_pos_h, rel_pos_w, (H, W), scale
+                    qkv, rel_pos_h, rel_pos_w, (H, W), scale,
+                    interpret=interpret,
                 )
             else:
                 out = attention_with_decomposed_rel_pos(
