@@ -37,13 +37,15 @@ NEG_INF = -1e30
 # limit is 16 MB for the whole kernel invocation (q/k/v/bias tiles +
 # double-buffering included); the dominant cost is the two live
 # (Tq, Tk) f32 tiles (scores + probs), so we cap their combined size at
-# 8 MB — i.e. Tq * Tk <= 2^20 elements — which matches the known-good
-# (block_q=512, block_k=2048) configuration and leaves ~8 MB for
-# operand tiles and pipelining. Round-3 regression: flipping the
-# default to block_k_rows=64 at block_q=512 (Tq*Tk = 2^21) compiled in
-# isolation but busted scoped VMEM by 120 KB inside the full model.
-# Rule (docs/DESIGN.md): no kernel-default change lands without a
-# full-model on-chip A/B.
+# 8 MB — i.e. Tq * Tk <= 2^20 elements — and leaves ~8 MB for operand
+# tiles and pipelining. Round-3 regression: flipping the default to
+# block_k_rows=64 at block_q=512 (Tq*Tk = 2^21) compiled in isolation
+# but busted scoped VMEM by 120 KB inside the full model. The r4
+# default (256, 64) sits exactly at the 2^20 budget: at the flagship
+# 64x64 grid it makes the k loop a SINGLE tile (no online-rescale
+# traffic), measured 16% faster isolated and verified by full-model
+# on-chip A/B. Rule (docs/DESIGN.md): no kernel-default change lands
+# without a full-model on-chip A/B.
 _MAX_TILE_ELEMS = 512 * 2048
 
 
@@ -85,23 +87,33 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # QK^T on NATIVE-dtype operands (bf16 at runtime): an f32 MXU dot runs
-    # at a fraction of the bf16 rate; accumulation stays f32 and the scale
-    # is applied to the f32 product (exact), so only the operand rounding
-    # differs — standard flash practice. (f32 inputs stay f32: parity
-    # tests are bit-comparable.)
-    q = q_ref[0, 0]                            # (Tq, d)
+    # at a fraction of the bf16 rate; accumulation stays f32 — standard
+    # flash practice. (f32 inputs stay f32: parity tests are
+    # bit-comparable.) The softmax scale is folded into the q TILE (a
+    # (Tq, d) multiply; for the flagship d=64 the scale 1/8 is a power of
+    # two, so the fold is exact) instead of scaling the (Tq, Tk) f32
+    # score tile — one full-tile VPU pass saved per grid step.
+    q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)   # (Tq, d)
     k = k_ref[0, 0]                            # (Tk, d)
     v = v_ref[0, 0]                            # (Tk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (Tq, Tk) f32
+    )  # (Tq, Tk) f32
 
     # decomposed rel-pos bias for this key tile: the tile covers grid rows
     # [kt*R, kt*R+R), all kw columns each. Mosaic forbids dynamic lane
     # slices, so select the R relevant rel_h columns with a kt-dependent
-    # one-hot matmul and expand both terms to (Tq, Tk) with static 0/1
-    # expansion matrices — everything stays on the MXU/VPU.
+    # one-hot matmul; then BOTH expansions (rh: element-repeat each of R
+    # columns kw times; rw: tile R copies along lanes) run as ONE fused
+    # one-hot MXU dot [rh_sel | rw] @ [E_r ; E_w] whose accumulation also
+    # performs the rh+rw add. The r4 micro-probe
+    # (scripts/tpu_flash_micro_probe.py) showed the bias path costing 2x
+    # the QK+AV dots — almost all of it the two (Tq, Tk) f32 VPU adds and
+    # the lane-tile repeat this dot replaces; the dot itself is ~1% of a
+    # grid step. Every bias element is a single rh+rw two-term f32 sum
+    # either way (one product per one-hot row), so the change is exact up
+    # to f32 add associativity (~1 ulp).
     Tq = q.shape[0]
     R = rows_per_tile
     Tk = R * kw
@@ -117,21 +129,19 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
         preferred_element_type=jnp.float32,
     )  # (Tq, R) — kt-dependent column select (dynamic lane slices are
     # not expressible in Mosaic; this tiny one-hot dot is)
-    # expand to (Tq, Tk = R*kw): k = r*kw + w, r-major — the rh term
-    # element-repeats each of its R columns kw times (small one-hot dot,
-    # Tq x R x Tk), the rw term TILES R copies along lanes (pltpu.repeat,
-    # pure vector copies). The round-1 kernel did the rw expansion as a
-    # (Tq, kw) @ (kw, Tk) one-hot MXU matmul — as expensive as the q.k^T
-    # product itself.
-    col_r = jax.lax.broadcasted_iota(jnp.int32, (R, Tk), 1) // kw
-    row_r = jax.lax.broadcasted_iota(jnp.int32, (R, Tk), 0)
-    e_r = (col_r == row_r).astype(jnp.float32)
-    bias = jax.lax.dot_general(
-        rh_sel, e_r, (((1,), (0,)), ((), ())),
+    comb = jnp.concatenate([rh_sel, rw], axis=1)           # (Tq, R + kw)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R + kw, Tk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R + kw, Tk), 0)
+    # select between the two 0/1 planes in FLOAT domain (a where on i1
+    # operands trips 'unsupported target bitwidth' in this terminal's
+    # Mosaic build)
+    expand = jnp.where(row < R,
+                       (col // kw == row).astype(jnp.float32),
+                       (col % kw == row - R).astype(jnp.float32))
+    s = s + jax.lax.dot_general(
+        comb, expand, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rw_tiled = pltpu.repeat(rw, R, axis=1)         # (Tq, R*kw)
-    s = s + bias + rw_tiled
 
     m_prev = m_scr[:]                          # (Tq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -158,8 +168,8 @@ def flash_attention_rel_pos(
     rel_pos_w: jnp.ndarray,
     q_hw: Tuple[int, int],
     scale: float,
-    block_q: int = 512,
-    block_k_rows: int = 32,
+    block_q: int = 256,
+    block_k_rows: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.attention_with_decomposed_rel_pos
@@ -302,7 +312,7 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
 
 
 def flash_attention_rel_pos_diff(qkvt, rph, rpw, q_hw, scale,
-                                 block_q: int = 512, block_k_rows: int = 32,
+                                 block_q: int = 256, block_k_rows: int = 64,
                                  interpret: bool = False):
     """Differentiable wrapper: Pallas flash forward, dense-path VJP backward
     (one block's dense attention at a time under the stage remat).

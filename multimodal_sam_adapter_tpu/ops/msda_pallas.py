@@ -358,6 +358,95 @@ def _digit_lo(slots: int) -> int:
     return lo
 
 
+def _quad_prep_body(H: int, W: int, x, y, att):
+    """In-kernel port of _prepare_quadrant_T on (P, TQ) VMEM tiles.
+
+    Yields (quad, idxq, wq) for the 4 corner quadrants, idxq/wq (P, TQ)
+    f32, quad ordered u-major like the (4, ...) quadrant tables. Same
+    formulas as the XLA prep (exact same values; all arithmetic stays in
+    f32 — integer-valued f32 ops/compares are exact below 2^24 and this
+    terminal's Mosaic build rejects in-kernel f32->i32 truncation).
+    Computing the prep per grid step replaces the (4, BM, P, Lq) idx/w
+    boundary tensors — 88 MB of HBM write+read per flagship extractor
+    call — with the three (BM, P, Lq) coordinate tensors (~17 MB read).
+    """
+    Wh = float((W + 1) // 2)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    a = jnp.clip(x0, 0.0, float(max(W - 2, 0)))
+    b = jnp.clip(y0, 0.0, float(max(H - 2, 0)))
+
+    def slot_w(c, i0, t):
+        return jnp.where(c == i0, 1.0 - t, jnp.where(c == i0 + 1.0, t, 0.0))
+
+    wy = (slot_w(b, y0, ty), slot_w(b + 1.0, y0, ty))
+    wx = (slot_w(a, x0, tx), slot_w(a + 1.0, x0, tx))
+    bp = jnp.mod(b, 2.0)
+    ap = jnp.mod(a, 2.0)
+    for u in range(2):
+        iu = jnp.mod(u - bp, 2.0)
+        yy = b + iu
+        wyu = jnp.where(iu == 0.0, wy[0], wy[1])
+        for v in range(2):
+            jv = jnp.mod(v - ap, 2.0)
+            xx = a + jv
+            wxv = jnp.where(jv == 0.0, wx[0], wx[1])
+            idxq = jnp.floor(yy * 0.5) * Wh + jnp.floor(xx * 0.5)
+            wq = wyu * wxv * att
+            yield u * 2 + v, idxq, wq
+
+
+def _digit_contract(P, LO, HI, D, TQ, mm_dtype, tab_ref, quads, acc):
+    """Shared digit contraction: quads yields (quad, idxq, wq) (P, TQ).
+
+    idxq may be int32 (precomputed prep) or integer-valued f32 (in-kernel
+    prep, which avoids Mosaic-unsupported f32->i32 truncation). In the f32
+    case the digit split uses mod/floor-multiply — LO is a power of two
+    and idx < 2^24, so both are exact."""
+    for quad, idxq, wq in quads:
+        tab = tab_ref[quad, 0]                            # (HI*D, LO)
+        flt = jnp.issubdtype(idxq.dtype, jnp.floating)
+        # Mosaic's tpu.iota is integer-only: build i32 and widen (sitofp)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, TQ), 0)
+        if flt:
+            iota_lo = iota_lo.astype(jnp.float32)
+        for p in range(P):
+            idx = idxq[p : p + 1, :]                      # (1, TQ)
+            wv = wq[p : p + 1, :]                         # (1, TQ) f32
+            if flt:
+                lo = jnp.mod(idx, float(LO))
+                hi = jnp.floor(idx * (1.0 / LO))
+            else:
+                lo = idx % LO
+                hi = idx // LO
+            dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
+            ut = jax.lax.dot_general(
+                tab, dlo.astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (HI*D, TQ)
+            for h in range(HI):
+                acc = acc + jnp.where(
+                    hi == (float(h) if flt else h),
+                    ut[h * D : (h + 1) * D, :], 0.0
+                )
+    return acc
+
+
+def _digit_kernel_prep(P: int, TQ: int, LO: int, HI: int, D: int,
+                       H: int, W: int, mm_dtype,
+                       x_ref, y_ref, a_ref, tab_ref, out_ref):
+    """Single-level digit kernel with IN-KERNEL quadrant prep: consumes the
+    raw absolute sampling coordinates x/y and folded attention weights
+    (each (1, P, TQ) blocks of (BM, P, Lq)) instead of precomputed idx/w."""
+    quads = _quad_prep_body(H, W, x_ref[0], y_ref[0], a_ref[0])
+    acc = jnp.zeros((D, TQ), jnp.float32)
+    acc = _digit_contract(P, LO, HI, D, TQ, mm_dtype, tab_ref, quads, acc)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
 def _digit_kernel(P: int, TQ: int, LO: int, HI: int, D: int, mm_dtype,
                   idx_ref, w_ref, tab_ref, out_ref):
     # all 4 quadrants are processed inside one grid step (the tables fit
@@ -518,9 +607,96 @@ def _digit_pallas_call(idx, w, tabs, D: int, P: int, LO: int, HI: int,
         ],
         out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), jnp.float32),
+        # in-kernel f32 accumulate, cast at the write: at bf16 out_dtype
+        # this halves the kernel's HBM writes (the r4 trace showed the
+        # extractor writing a 44 MB f32 output per call) and removes the
+        # separate cast pass the caller paid before its output transpose
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
         interpret=interpret,
     )(idx, w, tabs)
+    return out[:, :, :Lq]
+
+
+def _digit_pallas_call_prep(x, y, att, tabs, D: int, P: int, LO: int,
+                            HI: int, H: int, W: int, mm_dtype, out_dtype,
+                            interpret: bool):
+    """x/y/att: (BM, P, Lq) raw coords + folded weights; tabs:
+    (4, BM, HI*D, LO) -> (BM, D, Lq). Quadrant prep runs inside the
+    kernel (_quad_prep_body)."""
+    BM, _, Lq = x.shape
+    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
+    pad = (-Lq) % TQ
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)))
+        att = jnp.pad(att, ((0, 0), (0, 0), (0, pad)))
+    Lqp = Lq + pad
+    coord_spec = pl.BlockSpec((1, P, TQ), lambda bm, t: (bm, 0, t),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_digit_kernel_prep, P, TQ, LO, HI, D, H, W,
+                          mm_dtype),
+        grid=(BM, Lqp // TQ),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
+        interpret=interpret,
+    )(x, y, att, tabs)
+    return out[:, :, :Lq]
+
+
+def _digit_kernel_multi_prep(P: int, TQ: int, D: int, lohi, hws, mm_dtype,
+                             *refs):
+    """Multi-level variant of _digit_kernel_prep: refs = (x_ref, y_ref,
+    att_ref each (L, 1, P, TQ), tab_ref_0..tab_ref_{L-1}, out_ref)."""
+    x_ref, y_ref, a_ref = refs[0], refs[1], refs[2]
+    tab_refs = refs[3:-1]
+    out_ref = refs[-1]
+    acc = jnp.zeros((D, TQ), jnp.float32)
+    for lvl, ((LO, HI), (H, W)) in enumerate(zip(lohi, hws)):
+        quads = _quad_prep_body(H, W, x_ref[lvl, 0], y_ref[lvl, 0],
+                                a_ref[lvl, 0])
+        acc = _digit_contract(P, LO, HI, D, TQ, mm_dtype, tab_refs[lvl],
+                              quads, acc)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _digit_pallas_call_multi_prep(x3, y3, att3, tabs_list, D: int, P: int,
+                                  lohi, hws, mm_dtype, out_dtype,
+                                  interpret: bool):
+    """x3/y3/att3: (L, BM, P, Lq); tabs_list[l]: (4, BM, HI_l*D, LO_l).
+    Returns (BM, D, Lq) summed over levels, quadrant prep in-kernel."""
+    L, BM, _, Lq = x3.shape
+    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
+    pad = (-Lq) % TQ
+    if pad:
+        x3 = jnp.pad(x3, ((0, 0),) * 3 + ((0, pad),))
+        y3 = jnp.pad(y3, ((0, 0),) * 3 + ((0, pad),))
+        att3 = jnp.pad(att3, ((0, 0),) * 3 + ((0, pad),))
+    Lqp = Lq + pad
+    coord_spec = pl.BlockSpec((L, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
+                              memory_space=pltpu.VMEM)
+    in_specs = [coord_spec, coord_spec, coord_spec]
+    for (LO, HI) in lohi:
+        in_specs.append(
+            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        functools.partial(_digit_kernel_multi_prep, P, TQ, D, tuple(lohi),
+                          tuple(hws), mm_dtype),
+        grid=(BM, Lqp // TQ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
+        interpret=interpret,
+    )(x3, y3, att3, *tabs_list)
     return out[:, :, :Lq]
 
 
@@ -560,9 +736,10 @@ def _digit_kernel_multi(P: int, TQ: int, D: int, lohi, mm_dtype, *refs):
 
 
 def _digit_pallas_call_multi(idx3, w3, tabs_list, D: int, P: int, lohi,
-                             mm_dtype, interpret: bool):
+                             mm_dtype, out_dtype, interpret: bool):
     """idx3/w3: (L, 4, BM, P, Lq); tabs_list[l]: (4, BM, HI_l*D, LO_l).
-    Returns (BM, D, Lq) f32 summed over levels."""
+    Returns (BM, D, Lq) in out_dtype (f32 accumulate, cast at the kernel
+    write) summed over levels."""
     L, _, BM, _, Lq = idx3.shape
     TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
     pad = (-Lq) % TQ
@@ -588,7 +765,7 @@ def _digit_pallas_call_multi(idx3, w3, tabs_list, D: int, P: int, lohi,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
         interpret=interpret,
     )(idx3, w3, *tabs_list)
     return out[:, :, :Lq]
@@ -638,7 +815,7 @@ def ms_deform_attn_digit_flat_fwd(
     attnT = attnT.reshape(B, M, L, P, Lq)
     refT = ref_T.astype(jnp.float32).reshape(ref_T.shape[0], L, 2, Lq)
 
-    idx_l, w_l, tabs_l, lohi = [], [], [], []
+    x_l, y_l, att_l, tabs_l, lohi = [], [], [], [], []
     offset = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
         val2 = value_flat[:, offset : offset + H * W]    # (B, HW, M*D)
@@ -652,7 +829,6 @@ def ms_deform_attn_digit_flat_fwd(
         x = x.reshape(B * M, P, Lq)
         y = y.reshape(B * M, P, Lq)
         att = attnT[:, :, lvl].reshape(B * M, P, Lq)
-        idx, w = _prepare_quadrant_T(x, y, att, H, W)
         HWq = ((H + 1) // 2) * ((W + 1) // 2)
         LO = _digit_lo(HWq)
         HI = -(-HWq // LO)
@@ -672,22 +848,29 @@ def ms_deform_attn_digit_flat_fwd(
                                       (0, 0)))
             tabs = tabs.reshape(4, B * M, HI, LO, D).transpose(0, 1, 2, 4, 3)
             tabs = tabs.reshape(4, B * M, HI * D, LO)
-        idx_l.append(idx)
-        w_l.append(w)
+        x_l.append(x)
+        y_l.append(y)
+        att_l.append(att)
         tabs_l.append(tabs)
         lohi.append((LO, HI))
     if L > 1:
         # one multi-level kernel: per-step fixed costs amortize Lx and the
-        # per-level partial sums never round-trip HBM
-        idx3 = jnp.stack(idx_l)
-        w3 = jnp.stack(w_l)
-        out = _digit_pallas_call_multi(idx3, w3, tabs_l, D, P, lohi,
-                                       mm_dtype, interpret)
+        # per-level partial sums never round-trip HBM; quadrant prep runs
+        # IN-KERNEL from the raw (L, BM, P, Lq) coordinate stacks instead
+        # of materializing (4, BM, P, Lq) idx/w boundary tensors
+        x3 = jnp.stack(x_l)
+        y3 = jnp.stack(y_l)
+        att3 = jnp.stack(att_l)
+        out = _digit_pallas_call_multi_prep(
+            x3, y3, att3, tabs_l, D, P, lohi, spatial_shapes, mm_dtype,
+            value_flat.dtype, interpret)
     else:
-        out = _digit_pallas_call(idx_l[0], w_l[0], tabs_l[0], D, P,
-                                 lohi[0][0], lohi[0][1], mm_dtype,
-                                 value_flat.dtype, interpret)
-    # cast BEFORE the big output transpose: halves its HBM traffic
+        out = _digit_pallas_call_prep(
+            x_l[0], y_l[0], att_l[0], tabs_l[0], D, P, lohi[0][0],
+            lohi[0][1], spatial_shapes[0][0], spatial_shapes[0][1],
+            mm_dtype, value_flat.dtype, interpret)
+    # the kernels cast at the write (out_dtype above), so this is a no-op
+    # kept as a guard; the big output transpose below runs at value dtype
     out = out.astype(value_flat.dtype)
     # (BM, D, Lq) -> (B, Lq, M*D)
     out = out.reshape(B, M, D, Lq).transpose(0, 3, 1, 2).reshape(B, Lq, M * D)

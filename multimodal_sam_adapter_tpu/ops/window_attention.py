@@ -273,7 +273,19 @@ def _win_kernel_laneblock(G: int, ws: int, d: int, scale: float,
 
 
 def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
-    """One window x G heads of lane-blocked attention on VMEM arrays."""
+    """One window x G heads of lane-blocked attention on VMEM arrays.
+
+    VPU micro-structure (r4 probe, scripts/tpu_winlane_micro_probe.py,
+    0.270 -> 0.247 ms at flagship geometry):
+    - the softmax scale is folded into k ONCE per window-group instead of
+      multiplying the (N, N) f32 score tile per head (for the flagship
+      d=64 the scale 1/8 is a power of two, so the fold is bit-exact);
+    - normalization is a reciprocal-multiply (N divides on the (N, 1)
+      sums, then an (N, N) multiply) instead of an (N, N) broadcast
+      divide (~1 ulp f32 deviation, far below the kernels' 1e-4 parity
+      tolerance). Both changes measured TOGETHER are a win while either
+      alone regresses (Mosaic codegen is sensitive to the op mix).
+    """
     N = ws * ws
     qj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
     jk = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
@@ -286,13 +298,14 @@ def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
     e_w = e_w.astype(dt)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (N, G * d), 1)
     o = jnp.zeros((N, G * d), jnp.float32)
+    ks = k * jnp.asarray(scale, k.dtype)
     for h in range(G):
         mask = (lanes // d == h).astype(dt)
         qh = q * mask
         s = jax.lax.dot_general(
-            qh, k, (((1,), (1,)), ((), ())),
+            qh, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         gh = jax.lax.dot_general(
             qh, rhp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -313,7 +326,8 @@ def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
         )
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
+        inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        p = p * inv
         o = o + jax.lax.dot_general(
             p.astype(dt), v * mask, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
