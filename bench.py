@@ -1,114 +1,174 @@
 """Benchmark: flagship forward throughput at 1024x1024 on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...}; the LAST
+line printed is the current best record.  The record is emitted
+*incrementally* — a provisional line lands the moment any measurement
+exists, so an external timeout still leaves a parseable tail — and the
+whole run is bounded by an internal wall-clock budget with a
+degraded-but-nonempty fallback (rounds 3/4 lost their perf artifact to a
+VMEM OOM and an external timeout respectively; this design makes both
+failure modes non-silent).
 
-Timing method: host<->device syncs through this environment's TPU tunnel
-carry O(100ms) fixed latency and async dispatch makes block_until_ready
-unreliable, so the measurement amortizes: one jit runs the forward N times
-in a lax.scan (data-dependent chain) and returns a checksum; time(N=9) -
-time(N=1) over 8 gives pure device time per forward.
+Cost profile: exactly ONE full-model compile (a scan(8) forward); FLOP
+accounting reuses that executable's cost_analysis instead of compiling a
+second program.  Timing method: host<->device syncs through this
+environment's TPU tunnel carry O(100ms) fixed latency and async dispatch
+makes block_until_ready unreliable, so the measurement amortizes — one jit
+runs the forward 8x in a lax.scan (data-dependent chain) and returns a
+checksum; per-image time = (t_scan8 - t_sync) / 8 where t_sync is the
+measured cost of a trivial jitted round-trip (host-call + sync overhead),
+min over repeats to suppress tunnel jitter.
 
 Baseline context (BASELINE.md): the reference publishes no throughput
-numbers; the driver target is >= 3x images/sec/chip over an A100 running the
-reference model at 1024x1024. A100_EST below is our estimate of the
+numbers; the driver target is >= 3x images/sec/chip over an A100 running
+the reference model at 1024x1024.  A100_EST below is our estimate of the
 reference PyTorch implementation's single-A100 inference throughput for
-SAM ViT-L + adapter at 1024^2 (fp16, batch 1): ~4 img/s (the model is
-~4 TFLOPs/img with unfused eager attention and the deformable-attention
-CUDA op). vs_baseline = value / A100_EST.
+SAM ViT-L + adapter at 1024^2 (fp16, batch 1): ~4 img/s.  Provenance of
+the estimate: the model is ~4.6 TFLOP/img (XLA cost analysis of this
+implementation, which computes strictly fewer FLOPs than the reference's
+eager torch graph), so 4 img/s implies ~6% A100 fp16 MFU (312 TFLOP/s
+peak) — generous to the reference, whose eager per-op launches, unfused
+f32 attention softmax at 4096 tokens, and per-corner deformable-attention
+CUDA gathers all sit well below dense-matmul efficiency; comparable
+torch-eager ViT-L/1024^2 pipelines publish 3-6% MFU.  vs_baseline =
+value / A100_EST.
 """
 import json
 import time
 
-import jax
-import jax.numpy as jnp
+BUDGET_S = 420.0  # internal wall budget: stay well under external timeouts
+_START = time.monotonic()
 
 A100_EST_IMG_PER_S = 4.0
+V5E_PEAK_FLOPS = 197e12
+A100_PEAK_FLOPS = 312e12
+
+_REC = {
+    "metric": "flagship_1024_infer_images_per_sec_per_chip",
+    "unit": "img/s",
+    "value": 0.0,
+    "vs_baseline": 0.0,
+    "status": "starting",
+}
+
+
+def emit(status, **kw):
+    _REC.update(status=status, **kw)
+    _REC["elapsed_s"] = round(time.monotonic() - _START, 1)
+    print(json.dumps(_REC), flush=True)
+
+
+def left():
+    return BUDGET_S - (time.monotonic() - _START)
 
 
 def main():
+    emit("starting")
+    import jax
+    import jax.numpy as jnp
+
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import _flagship_model
+    from multimodal_sam_adapter_tpu.utils.params import cast_inference_params
 
     model = _flagship_model(dtype=jnp.bfloat16)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 1024, 6),
                             jnp.bfloat16)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), img, train=False
+    # Shape-only init: the benchmark needs parameter SHAPES, not trained
+    # values — jax.eval_shape traces without compiling, replacing a ~60s
+    # full-model init compile (one less way to hit an external timeout).
+    # Leaves are device-side zeros from ONE trivial jitted program (host-
+    # side random generation + a 330 MB tunnel transfer measured ~80s);
+    # TPU matmul timing is data-independent and every activation stays
+    # finite (softmax of zeros is uniform).
+    shapes = jax.eval_shape(
+        lambda r, x: model.init(r, x, train=False),
+        jax.random.PRNGKey(0), img,
     )
-    from multimodal_sam_adapter_tpu.utils.params import cast_inference_params
+    mk_all = jax.jit(
+        lambda: cast_inference_params(  # bf16 weight storage, in-program
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)))
+    variables = jax.block_until_ready(mk_all())
+    emit("params_ready")
 
-    variables = cast_inference_params(variables)  # bf16 weight storage
+    # Host-sync overhead: a trivial jitted round-trip, min-of-5.  Through
+    # the tunnel this is O(30ms) and is subtracted from the scan timing.
+    noop = jax.jit(lambda x: x + 1.0)
+    y = jnp.float32(0.0)
+    float(noop(y))
+    t_sync = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(noop(y))
+        t_sync = min(t_sync, time.perf_counter() - t0)
+    emit("sync_measured", t_sync_s=round(t_sync, 4))
 
-    # variables/img threaded as args so they don't bake into the HLO.
-    # Measurement = (scan(9) - scan(1)) / 8, min over repeats — pure device
-    # time, host-sync jitter amortized 8x. (Earlier rounds were limited to
-    # scan(2)-scan(1): a 2026-08 libtpu regression crashed the worker on any
-    # scan length >= 3 — scripts/tpu_crash_bisect.py — re-verified FIXED on
-    # 2026-08-18.) min-of-N suppresses the tunnel's host-sync jitter.
-    def make_fn(n):
-        @jax.jit
-        def fn(variables, img):
-            def body(c, _):
-                out = model.apply(variables, img + c, train=False)
-                return c + jnp.bfloat16(1e-3), jnp.sum(out.astype(jnp.float32))
-            _, s = jax.lax.scan(body, jnp.bfloat16(0), None, length=n)
-            return s.sum()
-        return fn
+    # THE one full-model compile: scan(8) forward, params threaded as args
+    # so they don't bake into the HLO (the remote compiler caps HLO size).
+    N = 8
 
-    times = {}
-    for n in (1, 9):
-        fn = make_fn(n)
-        float(fn(variables, img))  # compile + sync
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(fn(variables, img))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-    per_img = (times[9] - times[1]) / 8
+    @jax.jit
+    def scan_fwd(variables, img):
+        def body(c, _):
+            out = model.apply(variables, img + c, train=False)
+            return c + jnp.bfloat16(1e-3), jnp.sum(out.astype(jnp.float32))
+        _, s = jax.lax.scan(body, jnp.bfloat16(0), None, length=N)
+        return s.sum()
 
-    # FLOP accounting so vs_baseline is auditable (not just the A100_EST
-    # constant): XLA's own cost analysis of the compiled single forward.
-    # v5e bf16 peak = 197 TFLOP/s; A100 fp16 dense peak = 312 TFLOP/s — the
-    # implied A100 MFU of the 4 img/s estimate is printed alongside.
-    V5E_PEAK_FLOPS = 197e12
-    A100_PEAK_FLOPS = 312e12
-    flops_per_img = None
+    t0 = time.perf_counter()
+    compiled = scan_fwd.lower(variables, img).compile()
+    compile_s = time.perf_counter() - t0
+    emit("compiled", compile_s=round(compile_s, 1))
+
+    def record(t_scan):
+        per_img = (t_scan - t_sync) / N
+        if per_img <= 1e-3:
+            return dict(value=0.0, vs_baseline=0.0, noise_dominated=True)
+        ips = 1.0 / per_img
+        out = dict(value=round(ips, 4),
+                   vs_baseline=round(ips / A100_EST_IMG_PER_S, 4),
+                   per_img_ms=round(per_img * 1e3, 2))
+        if _REC.get("flops_per_img"):
+            out["mfu_v5e"] = round(
+                _REC["flops_per_img"] * 1e12 / per_img / V5E_PEAK_FLOPS, 4)
+        return out
+
+    # FLOP accounting from the SAME executable (no second compile).  A
+    # scan lowers to a while loop; cost analysis may count the body once
+    # or trip-count times depending on the runtime — disambiguate against
+    # the known model scale (a 1024^2 ViT-L forward is 2-10 TFLOP/img).
     try:
-        lowered = jax.jit(
-            lambda v, x: model.apply(v, x, train=False)
-        ).lower(variables, img)
-        cost = lowered.compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_img = float(cost.get("flops", float("nan")))
+        f = float(cost.get("flops", float("nan")))
+        if f == f and f > 0:
+            per = f / N if f / N > 1e12 else f
+            _REC["flops_per_img"] = round(per / 1e12, 4)  # TFLOP
+            _REC["a100_est_implied_mfu"] = round(
+                per * A100_EST_IMG_PER_S / A100_PEAK_FLOPS, 4)
     except Exception:
         pass
 
-    rec = {
-        "metric": "flagship_1024_infer_images_per_sec_per_chip",
-        "unit": "img/s",
-        "raw_times_s": {str(k): round(v, 4) for k, v in times.items()},
-    }
-    if flops_per_img and flops_per_img == flops_per_img:
-        rec["flops_per_img"] = round(flops_per_img / 1e12, 4)  # TFLOP
-        if per_img > 1e-3:
-            rec["mfu_v5e"] = round(flops_per_img / per_img / V5E_PEAK_FLOPS,
-                                   4)
-        rec["a100_est_implied_mfu"] = round(
-            flops_per_img * A100_EST_IMG_PER_S / A100_PEAK_FLOPS, 4
-        )
-    if per_img <= 1e-3:
-        # host-sync jitter exceeded the single-image increment: the
-        # subtraction is noise-dominated; flag instead of emitting inf
-        rec.update(value=0.0, vs_baseline=0.0, noise_dominated=True)
-    else:
-        ips = 1.0 / per_img
-        rec.update(value=round(ips, 4),
-                   vs_baseline=round(ips / A100_EST_IMG_PER_S, 4))
-    print(json.dumps(rec))
+    best = float("inf")
+    for i in range(6):
+        t0 = time.perf_counter()
+        float(compiled(variables, img))
+        t = time.perf_counter() - t0
+        best = min(best, t)
+        # first run doubles as the execute-warmup; emit from the second on
+        if i >= 1:
+            emit("provisional" if i < 5 else "final",
+                 raw_scan8_s=round(best, 4), **record(best))
+        if left() < 30 and i >= 1:
+            emit("budget_stop", raw_scan8_s=round(best, 4), **record(best))
+            return
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # leave a parseable, attributable tail
+        emit("error", error=f"{type(e).__name__}: {e}"[:300])
+        raise

@@ -43,12 +43,16 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(model: EncoderDecoder, ignore_index: int = 255,
                     ohem_thresh: float = 0.7, ohem_min_kept: int = 100_000,
-                    donate: bool = True):
+                    ohem_per_sample: bool = True, donate: bool = True):
     """Build the jitted train step.
 
     batch: {'img': (B, H, W, C) NHWC float, 'gt': (B, H, W) int32}. Under a
     mesh with batch sharded on 'data' and state replicated, XLA inserts the
     gradient all-reduce and makes every BatchNorm a SyncBN.
+
+    ohem_per_sample=True reproduces the reference's per-RANK OHEM
+    threshold scope at the shipped samples_per_gpu=1 for any DP degree
+    (see models/losses.py:ohem_cross_entropy and PARITY.md).
     """
 
     def loss_fn(params, batch_stats, img, gt, rng):
@@ -58,6 +62,7 @@ def make_train_step(model: EncoderDecoder, ignore_index: int = 255,
             ignore_index=ignore_index,
             ohem_thresh=ohem_thresh,
             ohem_min_kept=ohem_min_kept,
+            ohem_per_sample=ohem_per_sample,
             method=model.loss,
             mutable=["batch_stats"],
             rngs={"dropout": rng},

@@ -31,8 +31,26 @@ def ohem_cross_entropy(
     min_kept: int = 100_000,
     loss_weight: float = 1.0,
     class_weight=None,
+    per_sample: bool = False,
 ) -> jnp.ndarray:
-    """OHEM cross entropy over NHWC logits and (B, H, W) int labels."""
+    """OHEM cross entropy over NHWC logits and (B, H, W) int labels.
+
+    per_sample: threshold scope. The reference computes the min_kept
+    threshold over each RANK'S LOCAL batch (ohem_cross_entropy_loss.py:
+    56-96, on the per-GPU batch before DDP's gradient mean). A jitted
+    sharded loss has no "rank-local" view, so the two faithful jit-native
+    scopes are:
+      - False (default): one threshold over the whole batch the call
+        sees — torch-equivalent for any SINGLE-process batch (the oracle
+        test feeds this).
+      - True: one threshold PER SAMPLE, then mean of per-sample means —
+        bit-equivalent to the reference's per-rank scope at the shipped
+        samples_per_gpu=1 for ANY data-parallel degree (each rank's batch
+        IS one sample, and DDP's grad-mean == the sample mean here), and
+        invariant to device topology. The train step uses this. See
+        PARITY.md.
+    """
+    B = logits.shape[0] if (per_sample and logits.ndim >= 3) else 1
     logits, labels = _flatten_logits_labels(logits, labels)
     logits = logits.astype(jnp.float32)
     valid = labels != ignore_index
@@ -46,21 +64,30 @@ def ohem_cross_entropy(
         pixel_losses = pixel_losses * w
     prob_t = jnp.exp(logp_t)
 
-    # k-th smallest true-class probability among valid pixels
+    # rows = threshold scopes (1 global row, or B per-sample rows)
+    N = pixel_losses.size // B
+    valid = valid.reshape(B, N)
+    prob_t = prob_t.reshape(B, N)
+    pixel_losses = pixel_losses.reshape(B, N)
+
+    # k-th smallest true-class probability among valid pixels per row
     # (invalid pixels sort to +inf so they never enter the threshold)
     sort_key = jnp.where(valid, prob_t, jnp.inf)
-    sorted_probs = jnp.sort(sort_key)
-    n_valid = jnp.sum(valid)
-    k = jnp.minimum(jnp.asarray(min_kept, jnp.int32), jnp.maximum(n_valid - 1, 0))
-    min_value = sorted_probs[k]
+    sorted_probs = jnp.sort(sort_key, axis=1)
+    n_valid = jnp.sum(valid, axis=1)
+    k = jnp.minimum(jnp.asarray(min_kept, jnp.int32),
+                    jnp.maximum(n_valid - 1, 0))
+    min_value = jnp.take_along_axis(sorted_probs, k[:, None], axis=1)[:, 0]
     threshold = jnp.maximum(min_value, thresh)
 
-    keep = valid & (prob_t < threshold)
-    n_keep = jnp.sum(keep)
-    loss = jnp.sum(jnp.where(keep, pixel_losses, 0.0)) / jnp.maximum(n_keep, 1)
-    # no valid pixels at all -> 0 (reference returns 0.0)
-    loss = jnp.where(n_valid > 0, loss, 0.0)
-    return loss_weight * loss
+    keep = valid & (prob_t < threshold[:, None])
+    n_keep = jnp.sum(keep, axis=1)
+    row_loss = (jnp.sum(jnp.where(keep, pixel_losses, 0.0), axis=1)
+                / jnp.maximum(n_keep, 1))
+    # a row with no valid pixels contributes 0 (reference returns 0.0;
+    # DDP still averages the zero into the gradient mean)
+    row_loss = jnp.where(n_valid > 0, row_loss, 0.0)
+    return loss_weight * jnp.mean(row_loss)
 
 
 def cross_entropy_loss(

@@ -86,7 +86,8 @@ class EncoderDecoder(nn.Module):
         return self.backbone(img, train=train)
 
     def loss(self, img, gt_seg, ignore_index: int = 255,
-             ohem_thresh: float = 0.7, ohem_min_kept: int = 100_000):
+             ohem_thresh: float = 0.7, ohem_min_kept: int = 100_000,
+             ohem_per_sample: bool = True):
         """Training loss: OHEM CE on logits resized to the label grid.
 
         The reference computes the loss on logits resized to the label size
@@ -127,6 +128,7 @@ class EncoderDecoder(nn.Module):
             loss = ohem_cross_entropy(
                 logits, gt, ignore_index=ignore_index,
                 thresh=ohem_thresh, min_kept=ohem_min_kept,
+                per_sample=ohem_per_sample,
             )
             return loss, logits
 

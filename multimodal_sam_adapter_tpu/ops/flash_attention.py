@@ -22,6 +22,7 @@ match the dense reference path to f32 rounding (tests/test_flash_attention.py).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -33,41 +34,50 @@ from .attention import rel_pos_bias_terms
 
 NEG_INF = -1e30
 
-# Scoped-VMEM budget for the (Tq, Tk) f32 working tiles. The v5e scoped
-# limit is 16 MB for the whole kernel invocation (q/k/v/bias tiles +
-# double-buffering included); the dominant cost is the two live
-# (Tq, Tk) f32 tiles (scores + probs), so we cap their combined size at
-# 8 MB — i.e. Tq * Tk <= 2^20 elements — and leaves ~8 MB for operand
-# tiles and pipelining. Round-3 regression: flipping the default to
-# block_k_rows=64 at block_q=512 (Tq*Tk = 2^21) compiled in isolation
-# but busted scoped VMEM by 120 KB inside the full model. The r4
-# default (256, 64) sits exactly at the 2^20 budget: at the flagship
-# 64x64 grid it makes the k loop a SINGLE tile (no online-rescale
-# traffic), measured 16% faster isolated and verified by full-model
-# on-chip A/B. Rule (docs/DESIGN.md): no kernel-default change lands
-# without a full-model on-chip A/B.
-_MAX_TILE_ELEMS = 512 * 2048
+# Scoped-VMEM budget for the kernel's large f32 working tiles. The v5e
+# scoped limit is 16 MB for the whole kernel invocation (q/k/v/bias tiles
+# + double-buffering included); the live large-f32 working set counted
+# here is the two (Tq, Tk) tiles (scores + probs) PLUS the (R + kw, Tk)
+# one-hot expand matrix of the fused bias dot (advisor r4: the expand
+# tile was previously unaccounted — ~2 MB at flagship, the same silent-
+# overflow shape as the round-3 regression below). The cap is calibrated
+# to the flagship default (block_q=256, rows=64 at a 64x64 grid):
+# 2*256*4096 + 128*4096 = 2.5 * 2^20 f32 elements (10 MB), which is the
+# FULL-MODEL-verified working set — larger geometries clamp down, the
+# flagship default is unchanged. Round-3 regression for context: flipping
+# the default to block_k_rows=64 at block_q=512 compiled in isolation but
+# busted scoped VMEM by 120 KB inside the full model. Rule
+# (docs/DESIGN.md): no kernel-default change lands without a full-model
+# on-chip A/B.
+_MAX_WORK_ELEMS = 2 * 256 * 4096 + (64 + 64) * 4096
 
 
 def _clamp_flash_tiles(N: int, H: int, W: int,
                        block_q: int, block_k_rows: int):
-    """Shrink (block_q, block_k_rows) until the (Tq, Tk) product fits the
-    scoped-VMEM budget, preferring to shrink the k-tile first (the q-tile
-    amortizes the rel-pos term loads)."""
+    """Shrink (block_q, block_k_rows) until the f32 working set (score +
+    prob + bias-expand tiles) fits the scoped-VMEM budget, preferring to
+    shrink the k-tile first (the q-tile amortizes the rel-pos term
+    loads)."""
+
+    def work(bq, r):
+        tk = r * W
+        return 2 * bq * tk + (r + W) * tk
+
     block_q = min(block_q, N)
     while N % block_q:
         block_q -= 1
     rows = min(block_k_rows, H)
     while H % rows:
         rows -= 1
-    while block_q * rows * W > _MAX_TILE_ELEMS and rows > 1:
+    while work(block_q, rows) > _MAX_WORK_ELEMS and rows > 1:
         rows = max(r for r in range(1, rows) if H % r == 0)
-    while block_q * rows * W > _MAX_TILE_ELEMS and block_q > 128:
+    while work(block_q, rows) > _MAX_WORK_ELEMS and block_q > 128:
         block_q = max(b for b in range(128, block_q) if N % b == 0)
     return block_q, rows
 
 
 def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
+                  fold_scale: bool,
                   q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
                   m_scr, l_scr, acc_scr):
     """Grid: (BH, q_tiles, k_tiles) with k innermost.
@@ -89,17 +99,26 @@ def _flash_kernel(kw: int, rows_per_tile: int, scale: float,
     # QK^T on NATIVE-dtype operands (bf16 at runtime): an f32 MXU dot runs
     # at a fraction of the bf16 rate; accumulation stays f32 — standard
     # flash practice. (f32 inputs stay f32: parity tests are
-    # bit-comparable.) The softmax scale is folded into the q TILE (a
-    # (Tq, d) multiply; for the flagship d=64 the scale 1/8 is a power of
-    # two, so the fold is exact) instead of scaling the (Tq, Tk) f32
-    # score tile — one full-tile VPU pass saved per grid step.
-    q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)   # (Tq, d)
+    # bit-comparable.) When the softmax scale is a power of two (every
+    # head_dim in shipped configs: d=64 -> 1/8, d=16 -> 1/4) it is folded
+    # into the q TILE — a (Tq, d) multiply instead of scaling the
+    # (Tq, Tk) f32 score tile, one full-tile VPU pass saved per grid
+    # step, and exact in any float dtype. For a non-pow2 scale (e.g.
+    # d=80) the fold would round the bf16 operand BEFORE the MXU dot and
+    # break f32 bit-comparability, so the caller sets fold_scale=False
+    # and the scale lands on the f32 score tile instead.
+    if fold_scale:
+        q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)   # (Tq, d)
+    else:
+        q = q_ref[0, 0]
     k = k_ref[0, 0]                            # (Tk, d)
     v = v_ref[0, 0]                            # (Tk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Tq, Tk) f32
+    if not fold_scale:
+        s = s * scale
 
     # decomposed rel-pos bias for this key tile: the tile covers grid rows
     # [kt*R, kt*R+R), all kw columns each. Mosaic forbids dynamic lane
@@ -190,8 +209,13 @@ def flash_attention_rel_pos(
     block_k = rows * W
     assert N % block_q == 0, "N must divide block_q for the global grid"
 
+    # fold the softmax scale into q only when exactly representable
+    # (power of two); see the kernel comment
+    mant, _ = math.frexp(scale)
+    fold_scale = mant == 0.5
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, W, rows, scale),
+        functools.partial(_flash_kernel, W, rows, scale, fold_scale),
         grid=(B, N // block_q, H // rows),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, qt, kt: (0, b, qt, 0),

@@ -449,29 +449,16 @@ def _digit_kernel_prep(P: int, TQ: int, LO: int, HI: int, D: int,
 
 def _digit_kernel(P: int, TQ: int, LO: int, HI: int, D: int, mm_dtype,
                   idx_ref, w_ref, tab_ref, out_ref):
-    # all 4 quadrants are processed inside one grid step (the tables fit
-    # VMEM comfortably): 4x fewer grid steps than a (.., 4) grid axis —
-    # the kernel is partly step-overhead-bound at flagship shapes
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, TQ), 0)
+    """Pre-computed-idx digit kernel (the non-flat `variant='digit'` path).
+
+    All 4 quadrants are processed inside one grid step (the tables fit
+    VMEM comfortably): 4x fewer grid steps than a (.., 4) grid axis —
+    the kernel is partly step-overhead-bound at flagship shapes. The
+    contraction is the shared _digit_contract so this path cannot drift
+    from the in-kernel-prep variants."""
+    quads = ((q, idx_ref[q, 0], w_ref[q, 0]) for q in range(4))
     acc = jnp.zeros((D, TQ), jnp.float32)
-    for quad in range(4):
-        tab = tab_ref[quad, 0]                            # (HI*D, LO)
-        for p in range(P):
-            idx = idx_ref[quad, 0, p : p + 1, :]          # (1, TQ) int32
-            wv = w_ref[quad, 0, p : p + 1, :]             # (1, TQ) f32
-            lo = idx % LO
-            hi = idx // LO
-            # weighted lo-digit one-hot, transposed: (LO, TQ)
-            dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
-            ut = jax.lax.dot_general(
-                tab, dlo.astype(mm_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # (HI*D, TQ)
-            for h in range(HI):
-                acc = acc + jnp.where(
-                    hi == h, ut[h * D : (h + 1) * D, :], 0.0
-                )
+    acc = _digit_contract(P, LO, HI, D, TQ, mm_dtype, tab_ref, quads, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -584,39 +571,6 @@ def _digit_tables_flat(val_flat, B: int, H: int, W: int, M: int, D: int,
     return tab.reshape(4, B * M, HI * D, LO)
 
 
-def _digit_pallas_call(idx, w, tabs, D: int, P: int, LO: int, HI: int,
-                       mm_dtype, out_dtype, interpret: bool):
-    """idx/w: (4, BM, P, Lq); tabs: (4, BM, HI*D, LO) -> (BM, Lq, D)."""
-    _, BM, _, Lq = idx.shape
-    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
-    pad = (-Lq) % TQ
-    if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    Lqp = Lq + pad
-    out = pl.pallas_call(
-        functools.partial(_digit_kernel, P, TQ, LO, HI, D, mm_dtype),
-        grid=(BM, Lqp // TQ),
-        in_specs=[
-            pl.BlockSpec((4, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, P, TQ), lambda bm, t: (0, bm, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
-                               memory_space=pltpu.VMEM),
-        # in-kernel f32 accumulate, cast at the write: at bf16 out_dtype
-        # this halves the kernel's HBM writes (the r4 trace showed the
-        # extractor writing a 44 MB f32 output per call) and removes the
-        # separate cast pass the caller paid before its output transpose
-        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
-        interpret=interpret,
-    )(idx, w, tabs)
-    return out[:, :, :Lq]
-
-
 def _digit_pallas_call_prep(x, y, att, tabs, D: int, P: int, LO: int,
                             HI: int, H: int, W: int, mm_dtype, out_dtype,
                             interpret: bool):
@@ -697,77 +651,6 @@ def _digit_pallas_call_multi_prep(x3, y3, att3, tabs_list, D: int, P: int,
         out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
         interpret=interpret,
     )(x3, y3, att3, *tabs_list)
-    return out[:, :, :Lq]
-
-
-def _digit_kernel_multi(P: int, TQ: int, D: int, lohi, mm_dtype, *refs):
-    """All levels AND all quadrants in one grid step: grid (BM, Lq_tiles).
-
-    refs = (idx_ref (L,4,1,P,TQ), w_ref (L,4,1,P,TQ), tab_ref_0 ...
-    tab_ref_{L-1} each (4,1,HI_l*D,LO_l), out_ref (1,D,TQ)). The injector
-    issues one kernel for its 3 value levels instead of 3 — per-step fixed
-    costs (grid sequencing, idx/w DMA) amortize 3x and the per-level
-    partial sums never round-trip HBM.
-    """
-    idx_ref, w_ref = refs[0], refs[1]
-    tab_refs = refs[2:-1]
-    out_ref = refs[-1]
-    acc = jnp.zeros((D, TQ), jnp.float32)
-    for lvl, (LO, HI) in enumerate(lohi):
-        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, TQ), 0)
-        for quad in range(4):
-            tab = tab_refs[lvl][quad, 0]                 # (HI*D, LO)
-            for p in range(P):
-                idx = idx_ref[lvl, quad, 0, p : p + 1, :]
-                wv = w_ref[lvl, quad, 0, p : p + 1, :]
-                lo = idx % LO
-                hi = idx // LO
-                dlo = jnp.where(iota_lo == lo, wv.astype(jnp.float32), 0.0)
-                ut = jax.lax.dot_general(
-                    tab, dlo.astype(mm_dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for h in range(HI):
-                    acc = acc + jnp.where(
-                        hi == h, ut[h * D : (h + 1) * D, :], 0.0
-                    )
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-
-def _digit_pallas_call_multi(idx3, w3, tabs_list, D: int, P: int, lohi,
-                             mm_dtype, out_dtype, interpret: bool):
-    """idx3/w3: (L, 4, BM, P, Lq); tabs_list[l]: (4, BM, HI_l*D, LO_l).
-    Returns (BM, D, Lq) in out_dtype (f32 accumulate, cast at the kernel
-    write) summed over levels."""
-    L, _, BM, _, Lq = idx3.shape
-    TQ = 1024 if Lq >= 1024 else (512 if Lq >= 512 else max(128, Lq))
-    pad = (-Lq) % TQ
-    if pad:
-        idx3 = jnp.pad(idx3, ((0, 0),) * 4 + ((0, pad),))
-        w3 = jnp.pad(w3, ((0, 0),) * 4 + ((0, pad),))
-    Lqp = Lq + pad
-    in_specs = [
-        pl.BlockSpec((L, 4, 1, P, TQ), lambda bm, t: (0, 0, bm, 0, t),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, 4, 1, P, TQ), lambda bm, t: (0, 0, bm, 0, t),
-                     memory_space=pltpu.VMEM),
-    ]
-    for (LO, HI) in lohi:
-        in_specs.append(
-            pl.BlockSpec((4, 1, HI * D, LO), lambda bm, t: (0, bm, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-    out = pl.pallas_call(
-        functools.partial(_digit_kernel_multi, P, TQ, D, tuple(lohi),
-                          mm_dtype),
-        grid=(BM, Lqp // TQ),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, D, TQ), lambda bm, t: (bm, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, D, Lqp), out_dtype),
-        interpret=interpret,
-    )(idx3, w3, *tabs_list)
     return out[:, :, :Lq]
 
 

@@ -25,6 +25,7 @@ small enough that the dense backward under the per-block remat is fine).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -277,9 +278,12 @@ def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
 
     VPU micro-structure (r4 probe, scripts/tpu_winlane_micro_probe.py,
     0.270 -> 0.247 ms at flagship geometry):
-    - the softmax scale is folded into k ONCE per window-group instead of
-      multiplying the (N, N) f32 score tile per head (for the flagship
-      d=64 the scale 1/8 is a power of two, so the fold is bit-exact);
+    - when the softmax scale is a power of two (every shipped head_dim:
+      d=64 -> 1/8, d=16 -> 1/4) it is folded into k ONCE per window-group
+      instead of multiplying the (N, N) f32 score tile per head — exact
+      in any float dtype. A non-pow2 scale (e.g. d=80) would round the
+      bf16 k operand BEFORE the MXU dot and lose f32 bit-comparability,
+      so it falls back to scaling the f32 score tile per head;
     - normalization is a reciprocal-multiply (N divides on the (N, 1)
       sums, then an (N, N) multiply) instead of an (N, N) broadcast
       divide (~1 ulp f32 deviation, far below the kernels' 1e-4 parity
@@ -298,7 +302,8 @@ def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
     e_w = e_w.astype(dt)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (N, G * d), 1)
     o = jnp.zeros((N, G * d), jnp.float32)
-    ks = k * jnp.asarray(scale, k.dtype)
+    fold_scale = math.frexp(scale)[0] == 0.5
+    ks = k * jnp.asarray(scale, k.dtype) if fold_scale else k
     for h in range(G):
         mask = (lanes // d == h).astype(dt)
         qh = q * mask
@@ -306,6 +311,8 @@ def _laneblock_body(G, ws, d, scale, q, k, v, rhp, rwp):
             qh, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if not fold_scale:
+            s = s * scale
         gh = jax.lax.dot_general(
             qh, rhp, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

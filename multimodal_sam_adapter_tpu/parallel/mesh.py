@@ -51,14 +51,41 @@ def data_parallel_shardings(mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (leading batch axis) sharded over 'data'."""
+    """Place a host batch (leading batch axis) sharded over 'data'.
+
+    Single-process: a plain sharded device_put. Multi-process: each process
+    holds only its LOCAL slice of the global batch (the loader shards by
+    process, data/loader.py), so the local arrays are assembled into global
+    arrays with `jax.make_array_from_process_local_data` — a device_put
+    against the global-mesh sharding would mis-declare the local (B_local,
+    ...) shape as the global shape. Reference analogue: DistributedSampler
+    + DDP's implicit global batch (apis/train.py:308-312).
+    """
     sh = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a (host or single-device) tree onto the mesh.
+
+    Multi-process: every process holds the same full value (same-seed init /
+    same checkpoint — the framework's invariant, like DDP's), so the global
+    replicated array is assembled from each process's local copy without
+    cross-host transfer.
+    """
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(jax.device_get(x))),
+        tree,
+    )
 
 
 def gather_results(tree):
@@ -76,11 +103,16 @@ def gather_results(tree):
 
 
 def init_distributed():
-    """Multi-host bring-up: call once before building the mesh on each host
-    (replaces torch.distributed.launch + init_dist, reference train.py:133)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Multi-host bring-up: call once, BEFORE any backend use, on each host
+    (replaces torch.distributed.launch + init_dist, reference train.py:133).
+
+    `jax.distributed.initialize()` auto-detects the cluster (TPU pod
+    metadata / standard env vars); on a plain single host detection fails
+    and the process proceeds single-process. NB: this must run before the
+    first `jax.devices()` / array op — probing `jax.process_count()` first
+    would itself initialize the backend, which is why no such guard exists
+    here."""
     try:
         jax.distributed.initialize()
     except Exception:
-        pass  # single-host
+        pass  # single-host, or already initialized

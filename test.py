@@ -55,7 +55,9 @@ def main():
     from multimodal_sam_adapter_tpu.engine.evaluator import Evaluator
     from multimodal_sam_adapter_tpu.engine.inference import InferenceEngine
     from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
+    from multimodal_sam_adapter_tpu.parallel.mesh import init_distributed
 
+    init_distributed()  # multi-host eval: per-process shards + allgather
     cfg = get_config(args.config)
     if args.cfg_options:
         apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))

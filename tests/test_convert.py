@@ -14,6 +14,11 @@ from multimodal_sam_adapter_tpu.engine.convert import (
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+
 def test_linear_mapping():
     torch.manual_seed(0)
     lin = torch.nn.Linear(8, 5)

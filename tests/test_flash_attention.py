@@ -7,7 +7,7 @@ from multimodal_sam_adapter_tpu.ops.attention import (
     attention_with_decomposed_rel_pos,
 )
 from multimodal_sam_adapter_tpu.ops.flash_attention import (
-    _MAX_TILE_ELEMS,
+    _MAX_WORK_ELEMS,
     _clamp_flash_tiles,
     flash_attention_rel_pos,
 )
@@ -22,12 +22,13 @@ from multimodal_sam_adapter_tpu.ops.flash_attention import (
     (4096, 64, 64, 4096, 64),  # absurd q-tile: both dims must shrink
 ])
 def test_clamp_flash_tiles_respects_vmem_budget(N, H, W, bq, bkr):
-    """The (Tq, Tk) f32 working-tile product must never exceed the scoped
-    VMEM budget (the r3 bench regression: block_k_rows=64 at block_q=512
-    busted the 16 MB limit inside the full model), and the clamped tiles
-    must still tile the grid exactly."""
+    """The f32 working set — score + prob (Tq, Tk) tiles plus the
+    (R + kw, Tk) bias-expand matrix (advisor r4) — must never exceed the
+    scoped VMEM budget (the r3 bench regression: block_k_rows=64 at
+    block_q=512 busted the 16 MB limit inside the full model), and the
+    clamped tiles must still tile the grid exactly."""
     q, r = _clamp_flash_tiles(N, H, W, bq, bkr)
-    assert q * r * W <= _MAX_TILE_ELEMS
+    assert 2 * q * r * W + (r + W) * r * W <= _MAX_WORK_ELEMS
     assert N % q == 0 and H % r == 0
     assert 1 <= q <= N and 1 <= r <= H
 

@@ -12,6 +12,10 @@ from multimodal_sam_adapter_tpu.utils.interpolate import (
 )
 
 
+
+pytestmark = pytest.mark.smoke
+
+
 def torch_resize(x_nhwc, out_hw, mode):
     t = torch.from_numpy(np.moveaxis(x_nhwc, -1, 1)).double()
     r = F.interpolate(t, size=out_hw, mode=mode, align_corners=False)

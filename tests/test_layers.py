@@ -10,6 +10,9 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_sam_adapter_tpu.nn.layers import LayerNorm, _matmul_moments
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _check_moments(x, atol):

@@ -9,6 +9,11 @@ from multimodal_sam_adapter_tpu.engine.metrics import (
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+
 def test_intersect_and_union_manual():
     pred = np.array([[0, 0, 1], [1, 2, 2]])
     gt = np.array([[0, 1, 1], [255, 2, 0]])

@@ -97,6 +97,7 @@ def test_single_modality_backbone():
     assert logits.shape == (1, 64, 64, 4)
 
 
+@pytest.mark.smoke
 def test_ohem_matches_torch_semantics():
     """OHEM loss vs an independent torch expression of the PIDNet OHEM."""
     import torch
@@ -130,3 +131,35 @@ def test_ohem_matches_torch_semantics():
         kept = kept[pred_sorted < threshold]
         want = float(kept.mean()) if kept.numel() else 0.0
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.smoke
+def test_ohem_per_sample_matches_per_rank_reference_scope():
+    """per_sample=True == the reference's per-RANK threshold at the shipped
+    samples_per_gpu=1: a B-sample per-sample loss must equal the mean of B
+    independent single-sample global calls (each of which the torch oracle
+    above pins), for ANY data-parallel layout of the B samples. Pins the
+    PARITY.md OHEM-scope contract (reference ohem_cross_entropy_loss.py:
+    56-96 thresholds per local batch; DDP then grad-means ranks)."""
+    from multimodal_sam_adapter_tpu.models.losses import ohem_cross_entropy
+
+    rng = np.random.default_rng(1)
+    B, H, W, C = 3, 8, 8, 5
+    logits = rng.standard_normal((B, H, W, C)).astype(np.float32) * 3
+    labels = rng.integers(0, C, (B, H, W)).astype(np.int32)
+    labels[0, :3] = 255
+    labels[2] = 255  # one rank with NO valid pixels: contributes 0 to mean
+
+    for min_kept in (5, 30, 1000):
+        got = float(ohem_cross_entropy(
+            jnp.array(logits), jnp.array(labels), thresh=0.7,
+            min_kept=min_kept, per_sample=True,
+        ))
+        want = np.mean([
+            float(ohem_cross_entropy(
+                jnp.array(logits[i : i + 1]), jnp.array(labels[i : i + 1]),
+                thresh=0.7, min_kept=min_kept,
+            ))
+            for i in range(B)
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

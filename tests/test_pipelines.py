@@ -10,6 +10,9 @@ from multimodal_sam_adapter_tpu.data.pipelines import (
     resize_multimodal,
 )
 from multimodal_sam_adapter_tpu.data.loader import DataLoader
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _sample(h=20, w=30, c=6, with_gt=True):

@@ -26,6 +26,7 @@ from tests.test_model_forward import TINY_BACKBONE
 pytestmark = pytest.mark.slow
 
 
+@pytest.mark.smoke
 def test_layer_id_rules():
     assert vit_layer_id("backbone/pos_embed", 24) == 0
     assert vit_layer_id("backbone/patch_embed/proj/kernel", 24) == 0
@@ -36,6 +37,7 @@ def test_layer_id_rules():
     assert vit_layer_id("decode_head/conv_seg/kernel", 24) == 25
 
 
+@pytest.mark.smoke
 def test_scales_and_wd_mask():
     params = {
         "backbone": {
@@ -64,6 +66,7 @@ def test_scales_and_wd_mask():
     assert not mask["backbone"]["spm"]["smart_fusion"]["fc"]["kernel"]
 
 
+@pytest.mark.smoke
 def test_poly_exp_warmup_schedule():
     sched = poly_schedule_with_exp_warmup(
         base_lr=1.0, steps_per_epoch=10, max_epochs=10, power=0.9,

@@ -70,8 +70,11 @@ def main():
         init_train_state, make_train_step,
     )
     from multimodal_sam_adapter_tpu.models.segmentor import EncoderDecoder
-    from multimodal_sam_adapter_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodal_sam_adapter_tpu.parallel.mesh import (
+        init_distributed, make_mesh, replicate, shard_batch,
+    )
 
+    init_distributed()  # no-op on a single host; must precede device use
     cfg = get_config(args.config)
     if args.cfg_options:
         apply_overrides(cfg, dict(kv.split("=", 1) for kv in args.cfg_options))
@@ -132,11 +135,10 @@ def main():
         )
     state = state.replace(params=params)
 
-    # mesh: replicate state, shard batches
+    # mesh: replicate state, shard batches (multi-process-correct placement
+    # lives in parallel/mesh.py — make_array_from_process_local_data)
     mesh = make_mesh(("data",))
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    state = replicate(state, mesh)
     step_fn_raw = make_train_step(model)
 
     def step_fn(state, batch, rng):
