@@ -75,21 +75,15 @@ def main():
     model = _flagship_model(dtype=jnp.bfloat16)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 1024, 6),
                             jnp.bfloat16)
-    # Shape-only init: the benchmark needs parameter SHAPES, not trained
-    # values — jax.eval_shape traces without compiling, replacing a ~60s
-    # full-model init compile (one less way to hit an external timeout).
-    # Leaves are device-side zeros from ONE trivial jitted program (host-
-    # side random generation + a 330 MB tunnel transfer measured ~80s);
-    # TPU matmul timing is data-independent and every activation stays
-    # finite (softmax of zeros is uniform).
-    shapes = jax.eval_shape(
-        lambda r, x: model.init(r, x, train=False),
-        jax.random.PRNGKey(0), img,
+    # Param init stays the jitted model.init (~60-90s compile, warm-cache
+    # fast). Two alternatives measured WORSE through this remote-compiler
+    # tunnel: host-side random params + device_put = ~80s of 330 MB
+    # transfer; eval_shape + a jitted zeros-builder = ~300s compiling the
+    # 700-output tuple program.
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), img, train=False
     )
-    mk_all = jax.jit(
-        lambda: cast_inference_params(  # bf16 weight storage, in-program
-            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)))
-    variables = jax.block_until_ready(mk_all())
+    variables = cast_inference_params(variables)  # bf16 weight storage
     emit("params_ready")
 
     # Host-sync overhead: a trivial jitted round-trip, min-of-5.  Through

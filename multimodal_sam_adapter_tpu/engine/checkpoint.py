@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -89,11 +90,46 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 # torch .pth ingestion
 # ---------------------------------------------------------------------------
 
+def resolve_checkpoint_source(path: str,
+                              cache_dir: Optional[str] = None) -> str:
+    """Resolve a checkpoint SOURCE to a local filesystem path.
+
+    The reference loads checkpoints from URLs (http/https via the torch
+    model zoo) next to plain paths (mmcv_custom/checkpoint.py:364-470 —
+    the pavi://, s3:// and open-mmlab:// schemes there are internal
+    services with no public equivalent and are intentionally not
+    mirrored). Here: http(s):// (and file://) sources download once into
+    `cache_dir` (default ~/.cache/multimodal_sam_adapter_tpu/checkpoints,
+    override with $MSA_CHECKPOINT_CACHE) keyed by URL hash + basename,
+    then load locally; anything else is returned unchanged.
+    """
+    if not re.match(r"^(https?|file)://", path):
+        return path
+    import hashlib
+    import urllib.request
+
+    cache_dir = (cache_dir or os.environ.get("MSA_CHECKPOINT_CACHE")
+                 or osp.expanduser("~/.cache/multimodal_sam_adapter_tpu/"
+                                   "checkpoints"))
+    os.makedirs(cache_dir, exist_ok=True)
+    name = osp.basename(path.split("?")[0]) or "checkpoint"
+    dest = osp.join(
+        cache_dir, hashlib.sha256(path.encode()).hexdigest()[:16] + "_" + name
+    )
+    if not osp.exists(dest):
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(path, tmp)
+        os.replace(tmp, dest)
+    return dest
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """torch.load -> flat {name: np.ndarray}, unwrapping common containers
-    and the DDP 'module.' prefix (reference mmcv_custom/checkpoint.py:43-109)."""
+    and the DDP 'module.' prefix (reference mmcv_custom/checkpoint.py:43-109).
+    `path` may be a URL (see resolve_checkpoint_source)."""
     import torch
 
+    path = resolve_checkpoint_source(path)
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("state_dict", "model"):
         if isinstance(ckpt, dict) and key in ckpt:

@@ -129,6 +129,33 @@ class ViTAttention(nn.Module):
             else:
                 impl = "dense"
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        if impl == "flash" and self.use_rel_pos:
+            # MSA_FLASH_IMPL selects the flash kernel variant at trace
+            # time: 'lane' (default) consumes the RAW (B, N, 3C) projection
+            # through 128-lane BlockSpec slices and returns heads-packed
+            # (B, N, C) — the (B,N,3,M,d)->(3,BM,N,d) marshalling copy
+            # (1.07 ms/global block, the largest layout copy in the r5
+            # trace) and the output unpack transpose never exist. 'qkvt'
+            # keeps the original (3, BM, N, d) kernel. Full-model on-chip
+            # A/B (docs/DESIGN.md r5): lane 91.07 ms/img vs qkvt 92.24.
+            if os.environ.get("MSA_FLASH_IMPL", "lane") == "lane":
+                from ..ops.flash_attention import flash_attention_lane_diff
+
+                rel_pos_h = self.param(
+                    "rel_pos_h", nn.initializers.zeros,
+                    (2 * self.input_size[0] - 1, head_dim),
+                )
+                rel_pos_w = self.param(
+                    "rel_pos_w", nn.initializers.zeros,
+                    (2 * self.input_size[1] - 1, head_dim),
+                )
+                out = flash_attention_lane_diff(
+                    qkv.reshape(B, H * W, 3 * self.dim),
+                    rel_pos_h, rel_pos_w, (H, W), scale,
+                    num_heads=self.num_heads, interpret=interpret,
+                )
+                out = out.reshape(B, H, W, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         if impl == "win_lane" and self.use_rel_pos:
             from ..ops.window_attention import window_attention_laneblock
 

@@ -256,12 +256,69 @@ def _attn_from_terms(q, k, v, rh, rw, W, scale):
     return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v)
 
 
-@functools.lru_cache(maxsize=None)
-def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
+def _dense_flash_bwd(q, k, v, rph, rpw, g, q_hw, scale):
+    """Chunked dense backward shared by both flash wrappers: one q-band's
+    (B, C, N) attention matrix live at a time (sequential lax.map + remat),
+    instead of the full (B, N, N) f32 stack (~3 GB per global block at
+    1024^2). q/k/v/g: (B_fold, N, d). Returns (dq, dk, dv, drph, drpw)."""
     from .attention import rel_pos_bias_terms
 
     H, W = q_hw
+    B, N, d = q.shape
+    (rh, rw), vjp_terms = jax.vjp(
+        lambda q_, rph_, rpw_: rel_pos_bias_terms(
+            q_, rph_, rpw_, q_hw, q_hw
+        ),
+        q, rph, rpw,
+    )
+    rh = rh.reshape(B, N, H)
+    rw = rw.reshape(B, N, W)
+    C = next((c for c in (512, 384, 256, 128, 64) if N % c == 0), N)
+    C = min(C, N)
 
+    def chunk_bwd(args):
+        qc, rhc, rwc, gc = args
+
+        def f(qc_, rhc_, rwc_, k_, v_):
+            return _attn_from_terms(qc_, k_, v_, rhc_, rwc_, W, scale)
+
+        _, vjp_c = jax.vjp(f, qc, rhc, rwc, k, v)
+        return vjp_c(gc)
+
+    if N <= C:
+        dq, drh, drw, dk, dv = chunk_bwd((q, rh, rw, g))
+    else:
+        nch = N // C
+
+        def stack(t):
+            return t.reshape(B, nch, C, *t.shape[2:]).transpose(
+                1, 0, 2, *range(3, t.ndim + 1)
+            )
+
+        outs = jax.lax.map(
+            jax.checkpoint(chunk_bwd),
+            (stack(q), stack(rh), stack(rw), stack(g)),
+        )
+        dq_s, drh_s, drw_s, dk_s, dv_s = outs
+
+        def unstack(t):
+            return t.transpose(1, 0, 2, *range(3, t.ndim)).reshape(
+                B, N, *t.shape[3:]
+            )
+
+        dq = unstack(dq_s)
+        drh = unstack(drh_s)
+        drw = unstack(drw_s)
+        dk = dk_s.sum(0)
+        dv = dv_s.sum(0)
+    dq2, drph, drpw = vjp_terms(
+        (drh.reshape(B, H, W, H), drw.reshape(B, H, W, W))
+    )
+    return dq + dq2.astype(dq.dtype), dk, dv, drph, drpw
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
     @jax.custom_vjp
     def fn(qkvt, rph, rpw):
         return flash_attention_rel_pos(
@@ -273,63 +330,11 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
         return fn(qkvt, rph, rpw), (qkvt, rph, rpw)
 
     def bwd(res, g):
-        # Chunked dense backward: one q-band's (B, C, N) attention matrix
-        # live at a time (sequential lax.map + remat), instead of the full
-        # (B, N, N) f32 stack (~3 GB per global block at 1024^2).
         qkvt, rph, rpw = res
-        q, k, v = qkvt[0], qkvt[1], qkvt[2]
-        B, N, d = q.shape
-        (rh, rw), vjp_terms = jax.vjp(
-            lambda q_, rph_, rpw_: rel_pos_bias_terms(
-                q_, rph_, rpw_, q_hw, q_hw
-            ),
-            q, rph, rpw,
+        dq, dk, dv, drph, drpw = _dense_flash_bwd(
+            qkvt[0], qkvt[1], qkvt[2], rph, rpw, g, q_hw, scale
         )
-        rh = rh.reshape(B, N, H)
-        rw = rw.reshape(B, N, W)
-        C = next((c for c in (512, 384, 256, 128, 64) if N % c == 0), N)
-        C = min(C, N)
-
-        def chunk_bwd(args):
-            qc, rhc, rwc, gc = args
-
-            def f(qc_, rhc_, rwc_, k_, v_):
-                return _attn_from_terms(qc_, k_, v_, rhc_, rwc_, W, scale)
-
-            _, vjp_c = jax.vjp(f, qc, rhc, rwc, k, v)
-            return vjp_c(gc)
-
-        if N <= C:
-            dq, drh, drw, dk, dv = chunk_bwd((q, rh, rw, g))
-        else:
-            nch = N // C
-
-            def stack(t):
-                return t.reshape(B, nch, C, *t.shape[2:]).transpose(
-                    1, 0, 2, *range(3, t.ndim + 1)
-                )
-
-            outs = jax.lax.map(
-                jax.checkpoint(chunk_bwd),
-                (stack(q), stack(rh), stack(rw), stack(g)),
-            )
-            dq_s, drh_s, drw_s, dk_s, dv_s = outs
-
-            def unstack(t):
-                return t.transpose(1, 0, 2, *range(3, t.ndim)).reshape(
-                    B, N, *t.shape[3:]
-                )
-
-            dq = unstack(dq_s)
-            drh = unstack(drh_s)
-            drw = unstack(drw_s)
-            dk = dk_s.sum(0)
-            dv = dv_s.sum(0)
-        dq2, drph, drpw = vjp_terms(
-            (drh.reshape(B, H, W, H), drw.reshape(B, H, W, W))
-        )
-        dqkvt = jnp.stack([dq + dq2.astype(dq.dtype), dk, dv])
-        return (dqkvt, drph, drpw)
+        return (jnp.stack([dq, dk, dv]), drph, drpw)
 
     fn.defvjp(fwd, bwd)
     return fn
@@ -343,3 +348,252 @@ def flash_attention_rel_pos_diff(qkvt, rph, rpw, q_hw, scale,
     qkvt: (3, B, N, d)."""
     return _make_diff_flash(tuple(q_hw), float(scale), block_q, block_k_rows,
                             interpret)(qkvt, rph, rpw)
+
+
+def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
+                       G: int, d: int, nk: int,
+                       q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
+                       m_scr, l_scr, acc_scr):
+    """Lane-blocked flash attention: q/k/v arrive as 128-lane-aligned
+    BlockSpec slices of the RAW qkv projection output (feature order
+    f = s*M*d + h*d + dd), so the (B, N, 3, M, d) -> (3, BM, N, d)
+    marshalling transpose — measured 1.07 ms/global-block, the largest
+    single layout copy in the r5 trace — never exists. Per-head dots are
+    masked WIDE dots (the window_attention_laneblock trick): zeroed lanes
+    kill cross-head inner products exactly (adding 0.0 is exact, so the
+    scores are BITWISE equal to the 64-deep per-head dots), and the MXU's
+    contraction depth is 128 either way, so the 2x nominal MACs are free.
+
+    Grid: (B * M/G, q_tiles, k_tiles) with k innermost.
+    Blocks: q_ref (1, Tq, G*d), k/v_ref (1, Tk, G*d), rh_ref (G, Tq, Kh),
+    rw_ref (G, Tq, kw), o_ref (1, Tq, G*d) — heads land packed in their
+    own d-wide output lanes, so the caller's (BM, N, d) -> (B, N, M*d)
+    un-marshalling transpose disappears too.
+    Scratch (nk > 1 only): m/l (G, Tq, 1) f32, acc (Tq, G*d) f32.
+    """
+    kt = pl.program_id(2)
+
+    if nk > 1:
+        @pl.when(kt == 0)
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qg = q_ref[0]                                  # (Tq, G*d)
+    kg = k_ref[0]                                  # (Tk, G*d)
+    vg = v_ref[0]
+    if fold_scale:
+        # fold into k ONCE for all G heads (exact: pow2 scale); q carries
+        # the per-head mask so the scale must not ride on q
+        kg = kg * jnp.asarray(scale, kg.dtype)
+    Tq, L = qg.shape
+    Tk = kg.shape[0]
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (Tq, L), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (Tk, L), 1)
+
+    # shared bias expansion machinery (see _flash_kernel for the algebra)
+    Kh = rh_ref.shape[-1]
+    row0 = kt * R
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, R), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, R), 1)
+    sel = (h_ids == row0 + r_ids).astype(jnp.float32)       # (Kh, R)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R + kw, Tk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R + kw, Tk), 0)
+    expand = jnp.where(row < R,
+                       (col // kw == row).astype(jnp.float32),
+                       (col % kw == row - R).astype(jnp.float32))
+
+    o_parts = None
+    for h in range(G):
+        qh = qg * (lane_q // d == h).astype(qg.dtype)
+        s = jax.lax.dot_general(
+            qh, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Tq, Tk) f32
+        if not fold_scale:
+            s = s * scale
+        rh = rh_ref[h].astype(jnp.float32)                  # (Tq, Kh)
+        rw = rw_ref[h].astype(jnp.float32)                  # (Tq, kw)
+        rh_sel = jax.lax.dot_general(
+            rh, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        comb = jnp.concatenate([rh_sel, rw], axis=1)
+        s = s + jax.lax.dot_general(
+            comb, expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        vh = vg * (lane_k // d == h).astype(vg.dtype)
+        if nk == 1:
+            # single k-tile (the flagship 64x64 geometry after clamping):
+            # exact softmax, no online recurrence, no scratch traffic
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o_h = jax.lax.dot_general(
+                p.astype(vg.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l                                           # (Tq, G*d)
+            o_parts = o_h if o_parts is None else o_parts + o_h
+        else:
+            m_prev = m_scr[h]                               # (Tq, 1)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[h] = m_new
+            # rescale ONLY this head's d output lanes of the packed acc
+            scale_lanes = jnp.where(lane_q // d == h, alpha, 1.0)
+            acc_scr[:] = acc_scr[:] * scale_lanes + jax.lax.dot_general(
+                p.astype(vg.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    if nk == 1:
+        o_ref[0] = o_parts.astype(o_ref.dtype)
+    else:
+        @pl.when(kt == nk - 1)
+        def _finish():
+            linv = jnp.zeros((Tq, L), jnp.float32)
+            for h in range(G):
+                linv = jnp.where(lane_q // d == h, 1.0 / l_scr[h], linv)
+            o_ref[0] = (acc_scr[:] * linv).astype(o_ref.dtype)
+
+
+def flash_attention_lane(
+    qkv_flat: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: Tuple[int, int],
+    scale: float,
+    num_heads: int,
+    block_q: int = 256,
+    block_k_rows: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over the RAW qkv projection output.
+
+    qkv_flat: (B, N, 3*M*d) — the Dense layer's output, untouched (feature
+    order f = s*M*d + h*d + dd). Returns (B, N, M*d) with heads packed —
+    directly consumable by the proj matmul. Requires 128 % d == 0 and
+    M % (128//d) == 0 (all SAM configs: d=64 -> 2-head groups).
+    """
+    B, N, F = qkv_flat.shape
+    M = num_heads
+    d = F // (3 * M)
+    H, W = q_hw
+    assert H * W == N and 128 % d == 0 and M % (128 // d) == 0
+    G = 128 // d
+    P2 = M // G                                   # lane groups per s slot
+
+    # rel-pos terms straight from the flat q slice — (B, M, N, K) reshaped
+    # to (BM, N, K) is layout-free (no (3, BM, N, d) marshalling)
+    r_q = qkv_flat[:, :, : M * d].reshape(B, H, W, M, d)
+    Rh_t, Rw_t = _rel_tables(H, W, rel_pos_h, rel_pos_w, r_q.dtype)
+    rel_h = jnp.einsum("bhwmc,hkc->bmhwk", r_q, Rh_t).reshape(B * M, N, H)
+    rel_w = jnp.einsum("bhwmc,wkc->bmhwk", r_q, Rw_t).reshape(B * M, N, W)
+
+    block_q, rows = _clamp_flash_tiles(N, H, W, block_q, block_k_rows)
+    block_k = rows * W
+    nk = H // rows
+    mant, _ = math.frexp(scale)
+    fold_scale = mant == 0.5
+
+    scratch = []
+    if nk > 1:
+        scratch = [
+            pltpu.VMEM((G, block_q, 1), jnp.float32),
+            pltpu.VMEM((G, block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, G * d), jnp.float32),
+        ]
+
+    def kern(*refs):
+        if nk > 1:
+            args = refs
+        else:
+            args = refs + (None, None, None)
+        _flash_lane_kernel(W, rows, scale, fold_scale, G, d, nk, *args)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B * P2, N // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128),
+                         lambda g, qt, kt: (g // P2, qt, g % P2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 128),
+                         lambda g, qt, kt: (g // P2, kt, P2 + g % P2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 128),
+                         lambda g, qt, kt: (g // P2, kt, 2 * P2 + g % P2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_q, H), lambda g, qt, kt: (g, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_q, W), lambda g, qt, kt: (g, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128),
+                               lambda g, qt, kt: (g // P2, qt, g % P2),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, M * d), qkv_flat.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qkv_flat, qkv_flat, qkv_flat, rel_h, rel_w)
+    return out
+
+
+def _rel_tables(H, W, rel_pos_h, rel_pos_w, dtype):
+    from .attention import get_rel_pos
+
+    return (get_rel_pos(H, H, rel_pos_h).astype(dtype),
+            get_rel_pos(W, W, rel_pos_w).astype(dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_flash_lane(q_hw, scale, num_heads, block_q, block_k_rows,
+                          interpret):
+    H, W = q_hw
+    N = H * W
+    M = num_heads
+
+    @jax.custom_vjp
+    def fn(qkv_flat, rph, rpw):
+        return flash_attention_lane(
+            qkv_flat, rph, rpw, q_hw, scale, num_heads,
+            block_q=block_q, block_k_rows=block_k_rows, interpret=interpret,
+        )
+
+    def fwd(qkv_flat, rph, rpw):
+        return fn(qkv_flat, rph, rpw), (qkv_flat, rph, rpw)
+
+    def bwd(res, g):
+        # the flat->per-head marshalling the forward avoids is fine HERE:
+        # the backward is already dominated by the chunked dense recompute
+        qkv_flat, rph, rpw = res
+        B = qkv_flat.shape[0]
+        d = qkv_flat.shape[-1] // (3 * M)
+        qkv5 = qkv_flat.reshape(B, N, 3, M, d)
+        qkvt = qkv5.transpose(2, 0, 3, 1, 4).reshape(3, B * M, N, d)
+        gt = g.reshape(B, N, M, d).transpose(0, 2, 1, 3).reshape(B * M, N, d)
+        dq, dk, dv, drph, drpw = _dense_flash_bwd(
+            qkvt[0], qkvt[1], qkvt[2], rph, rpw, gt, q_hw, scale
+        )
+        dflat = jnp.stack([dq, dk, dv]).reshape(3, B, M, N, d)
+        dflat = dflat.transpose(1, 3, 0, 2, 4).reshape(B, N, 3 * M * d)
+        return (dflat, drph, drpw)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def flash_attention_lane_diff(qkv_flat, rph, rpw, q_hw, scale, num_heads,
+                              block_q: int = 256, block_k_rows: int = 64,
+                              interpret: bool = False):
+    """Differentiable lane-blocked flash: Pallas forward off the raw qkv
+    projection, dense-path chunked VJP backward. qkv_flat: (B, N, 3*M*d);
+    returns (B, N, M*d) heads-packed."""
+    return _make_diff_flash_lane(tuple(q_hw), float(scale), int(num_heads),
+                                 block_q, block_k_rows, interpret)(
+        qkv_flat, rph, rpw)

@@ -178,3 +178,30 @@ def test_convnext_block_parity():
     }}
     got = np.asarray(mod.apply(params, jnp.array(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_url_source_roundtrip(tmp_path):
+    """URL checkpoint sources (reference mmcv_custom/checkpoint.py:364-470
+    load_url path): a file:// .pth downloads into the cache once and loads
+    identically to the local path."""
+    import os
+    import torch
+    from multimodal_sam_adapter_tpu.engine.checkpoint import (
+        load_torch_checkpoint, resolve_checkpoint_source,
+    )
+
+    pth = tmp_path / "w.pth"
+    torch.save({"state_dict": {"module.w": torch.arange(6.).reshape(2, 3)}},
+               str(pth))
+    os.environ["MSA_CHECKPOINT_CACHE"] = str(tmp_path / "cache")
+    try:
+        url = "file://" + str(pth)
+        local = resolve_checkpoint_source(url)
+        assert local != url and os.path.exists(local)
+        assert resolve_checkpoint_source(local) == local  # plain path: no-op
+        a = load_torch_checkpoint(url)
+        b = load_torch_checkpoint(str(pth))
+        np.testing.assert_array_equal(a["w"], b["w"])
+        assert resolve_checkpoint_source(url) == local  # cached, no re-fetch
+    finally:
+        del os.environ["MSA_CHECKPOINT_CACHE"]

@@ -1,6 +1,7 @@
 """Flash attention with rel-pos vs the dense reference path (interpret)."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from multimodal_sam_adapter_tpu.ops.attention import (
@@ -55,3 +56,71 @@ def test_flash_matches_dense(H, W, blk_q, blk_kr):
         block_q=blk_q, block_k_rows=blk_kr, interpret=True,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("blk_q,blk_kr", [
+    (16, 8),   # single k-tile: the streamlined nk==1 path (flagship shape)
+    (16, 2),   # multi k-tile: the online-softmax recurrence path
+])
+def test_flash_lane_matches_dense(blk_q, blk_kr):
+    """Lane-blocked flash (raw (B, N, 3C) input, packed (B, N, C) output)
+    vs the dense per-head reference."""
+    from multimodal_sam_adapter_tpu.ops.flash_attention import (
+        flash_attention_lane,
+    )
+
+    rng = np.random.default_rng(1)
+    B, H, W, M, d = 1, 8, 8, 8, 32         # G = 128//32 = 4, P2 = 2
+    N = H * W
+    qkv = rng.standard_normal((B, N, 3, M, d)).astype(np.float32)
+    rph = rng.standard_normal((2 * H - 1, d)).astype(np.float32) * 0.5
+    rpw = rng.standard_normal((2 * W - 1, d)).astype(np.float32) * 0.5
+    scale = d ** -0.5
+
+    per_head = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * M, N, d)
+    want = np.asarray(attention_with_decomposed_rel_pos(
+        jnp.array(per_head[0]), jnp.array(per_head[1]),
+        jnp.array(per_head[2]), jnp.array(rph), jnp.array(rpw), (H, W),
+        scale,
+    ))
+    want = want.reshape(B, M, N, d).transpose(0, 2, 1, 3).reshape(B, N, M * d)
+
+    got = np.asarray(flash_attention_lane(
+        jnp.array(qkv.reshape(B, N, 3 * M * d)), jnp.array(rph),
+        jnp.array(rpw), (H, W), scale, num_heads=M,
+        block_q=blk_q, block_k_rows=blk_kr, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_lane_vjp_matches_dense():
+    from multimodal_sam_adapter_tpu.ops.flash_attention import (
+        _make_diff_flash_lane,
+    )
+
+    rng = np.random.default_rng(2)
+    B, H, W, M, d = 1, 4, 8, 4, 32
+    N = H * W
+    qkv = jnp.array(rng.standard_normal((B, N, 3 * M * d)), jnp.float32)
+    rph = jnp.array(rng.standard_normal((2 * H - 1, d)) * 0.3, jnp.float32)
+    rpw = jnp.array(rng.standard_normal((2 * W - 1, d)) * 0.3, jnp.float32)
+    g = jnp.array(rng.standard_normal((B, N, M * d)), jnp.float32)
+    scale = d ** -0.5
+
+    fn = _make_diff_flash_lane((H, W), scale, M, 16, 2, True)
+
+    def dense(qkv_flat, rph_, rpw_):
+        q5 = qkv_flat.reshape(B, N, 3, M, d)
+        qkvt = q5.transpose(2, 0, 3, 1, 4).reshape(3, B * M, N, d)
+        o = attention_with_decomposed_rel_pos(
+            qkvt[0], qkvt[1], qkvt[2], rph_, rpw_, (H, W), scale)
+        return o.reshape(B, M, N, d).transpose(0, 2, 1, 3).reshape(
+            B, N, M * d)
+
+    out_f, vjp_f = jax.vjp(fn, qkv, rph, rpw)
+    out_d, vjp_d = jax.vjp(dense, qkv, rph, rpw)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-5)
+    for gf, gd in zip(vjp_f(g), vjp_d(g)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-4)
