@@ -217,15 +217,20 @@ class SpatialPriorModule(nn.Module):
                         dtype=self.dtype, kernel_init=fan_out_conv_init,
                         name=f"fc{i + 1}")(f)
             B, Hl, Wl, C = p.shape
-            outs.append(p.reshape(B, Hl * Wl, C))
+            # c1 never joins the interaction token stream (only c2..c4
+            # do): return it SPATIAL — tokenizing it forced a 134 MB
+            # layout copy the backbone immediately undid (r5 HLO audit)
+            outs.append(p if i == 0 else p.reshape(B, Hl * Wl, C))
         return tuple(outs)
 
 
 class SpatialPriorModuleBimodal(nn.Module):
     """TwinConvNeXt + fusion neck + 1x1 projections to ViT width.
 
-    Returns token streams (c1, c2, c3, c4) at strides 4/8/16/32, each
-    (B, HW_level, embed_dim). Reference adapter_modules...:901-1076.
+    Returns (c1, c2, c3, c4) at strides 4/8/16/32: c1 SPATIAL
+    (B, H, W, embed_dim) — it never joins the interaction token stream —
+    and c2..c4 as token streams (B, HW_level, embed_dim).
+    Reference adapter_modules...:901-1076.
     """
 
     embed_dim: int = 1024
@@ -257,7 +262,8 @@ class SpatialPriorModuleBimodal(nn.Module):
                 kernel_init=fan_out_conv_init, name=f"fc{i + 1}",
             )(f)
             B, Hl, Wl, C = p.shape
-            outs.append(p.reshape(B, Hl * Wl, C))
+            # c1 spatial, c2..c4 tokens — see SpatialPriorModule
+            outs.append(p if i == 0 else p.reshape(B, Hl * Wl, C))
         return tuple(outs)
 
 

@@ -18,6 +18,7 @@ activation memory to ~1 stage.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -50,7 +51,7 @@ class PixelShuffleUp(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fuse_add_bn=None):
         B, H, W, C = x.shape
         O = self.features
 
@@ -63,6 +64,17 @@ class PixelShuffleUp(nn.Module):
         kernel = self.param("kernel", init, (C, 2, 2, O), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
         dt = self.dtype or x.dtype
+        if fuse_add_bn is not None:
+            # fused inference epilogue (ops/pixel_shuffle.py): the caller
+            # passes (c1, x1, bn_scale, bn_shift, interpret); the conv
+            # bias folds into the BN shift (shift + bias*scale) so the
+            # kernel epilogue is a single affine
+            from ..ops.pixel_shuffle import pixel_shuffle_up_bn
+
+            c1, x1, s, t, interpret = fuse_add_bn
+            t2 = t + bias.astype(jnp.float32) * s
+            return pixel_shuffle_up_bn(
+                x, kernel.astype(dt), c1, x1, s, t2, interpret=interpret)
         w = kernel.reshape(C, 4 * O).astype(dt)
         y = (x.reshape(B * H * W, C) @ w).reshape(B, H, W, 2, 2, O)
         y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(B, 2 * H, 2 * W, O)
@@ -212,22 +224,52 @@ class SAMAdapterBimodal(nn.Module):
             outs.append(xt.reshape(B, H, W, self.embed_dim))
 
         # ---- pyramid assembly (NHWC)
-        c1 = c1.reshape(B, H * 4, W * 4, self.embed_dim)
+        # c1 arrives SPATIAL from the SPM (it never entered the token
+        # stream; tokenizing it cost a 134 MB layout copy, r5 HLO audit)
         c2 = c[:, :n2].reshape(B, H * 2, W * 2, self.embed_dim)
         c3 = c[:, n2 : n2 + n3].reshape(B, H, W, self.embed_dim)
         c4 = c[:, n2 + n3 :].reshape(B, H // 2, W // 2, self.embed_dim)
-        c1 = PixelShuffleUp(
-            self.embed_dim, dtype=self.dtype, name="up",
-        )(c2) + c1
+        up = PixelShuffleUp(self.embed_dim, dtype=self.dtype, name="up")
+        norm1 = BatchNorm(dtype=self.dtype, name="norm1")
 
         if self.add_vit_feature:
             x1, x2, x3, x4 = outs
             x1 = resize_bilinear(x1, (H * 4, W * 4))
             x2 = resize_bilinear(x2, (H * 2, W * 2))
             x4 = resize_bilinear(x4, (H // 2, W // 2))
-            c1, c2, c3, c4 = c1 + x1, c2 + x2, c3 + x3, c4 + x4
 
-        f1 = BatchNorm(dtype=self.dtype, name="norm1")(c1, train=train)
+        interpret = os.environ.get("MSA_PALLAS_INTERPRET", "0") == "1"
+        on_tpu = (jax.default_backend() == "tpu"
+                  or os.environ.get("MSA_FORCE_TPU_IMPL", "0") == "1")
+        # Fused f1 assembly (inference only): up-dot + depth-to-space +
+        # both residual adds + the eval-mode BN affine in one Pallas pass
+        # (ops/pixel_shuffle.py). Eval BN is an exact affine, recovered
+        # from the module itself on basis inputs so the param tree stays
+        # byte-identical to the composition path. OPT-IN (default off):
+        # the full-model on-chip A/B measured it SLOWER than the XLA
+        # composition (93.28 vs 91.27 ms/img, r5) — the kernel's in-VMEM
+        # (W, 2, O) -> (2W, O) interleave relayout plus the per-step
+        # weight residency cost more than the copies it removes. Kept as
+        # a tested variant for future Mosaic toolchains.
+        fuse_f1 = (not train and self.add_vit_feature and on_tpu
+                   and os.environ.get("MSA_UP_FUSED", "0") == "1")
+        if fuse_f1:
+            from ..ops.pixel_shuffle import pixel_shuffle_up_bn
+
+            dt = self.dtype or c1.dtype
+            basis = jnp.zeros((1, 1, 1, self.embed_dim), dt)
+            t = norm1(basis, train=False).reshape(-1).astype(jnp.float32)
+            s = (norm1(jnp.ones_like(basis), train=False)
+                 .reshape(-1).astype(jnp.float32) - t)
+            f1 = up(c2, fuse_add_bn=(c1, x1, s, t, interpret))
+        else:
+            c1 = up(c2) + c1
+            if self.add_vit_feature:
+                c1 = c1 + x1
+            f1 = norm1(c1, train=train)
+
+        if self.add_vit_feature:
+            c2, c3, c4 = c2 + x2, c3 + x3, c4 + x4
         f2 = BatchNorm(dtype=self.dtype, name="norm2")(c2, train=train)
         f3 = BatchNorm(dtype=self.dtype, name="norm3")(c3, train=train)
         f4 = BatchNorm(dtype=self.dtype, name="norm4")(c4, train=train)

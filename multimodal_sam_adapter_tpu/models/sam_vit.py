@@ -128,8 +128,17 @@ class ViTAttention(nn.Module):
                 impl = os.environ.get("MSA_WIN_IMPL", "win_lane")
             else:
                 impl = "dense"
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        if impl == "flash" and self.use_rel_pos:
+        use_lane_flash = (impl == "flash" and self.use_rel_pos
+                          and os.environ.get("MSA_FLASH_IMPL", "lane")
+                          == "lane")
+        # lane flash consumes the raw (B, N, 3C) projection: feed the
+        # Dense FLAT tokens so the dot emits a default-layout output the
+        # Pallas call can take directly — on the (B, H, W, C) input the
+        # conv-style emitter's output layout forced a 25 MB relayout copy
+        # (0.54 ms/block, r5 trace) in front of the kernel
+        xin = x.reshape(B, H * W, C) if use_lane_flash else x
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(xin)
+        if use_lane_flash:
             # MSA_FLASH_IMPL selects the flash kernel variant at trace
             # time: 'lane' (default) consumes the RAW (B, N, 3C) projection
             # through 128-lane BlockSpec slices and returns heads-packed
@@ -138,24 +147,22 @@ class ViTAttention(nn.Module):
             # trace) and the output unpack transpose never exist. 'qkvt'
             # keeps the original (3, BM, N, d) kernel. Full-model on-chip
             # A/B (docs/DESIGN.md r5): lane 91.07 ms/img vs qkvt 92.24.
-            if os.environ.get("MSA_FLASH_IMPL", "lane") == "lane":
-                from ..ops.flash_attention import flash_attention_lane_diff
+            from ..ops.flash_attention import flash_attention_lane_diff
 
-                rel_pos_h = self.param(
-                    "rel_pos_h", nn.initializers.zeros,
-                    (2 * self.input_size[0] - 1, head_dim),
-                )
-                rel_pos_w = self.param(
-                    "rel_pos_w", nn.initializers.zeros,
-                    (2 * self.input_size[1] - 1, head_dim),
-                )
-                out = flash_attention_lane_diff(
-                    qkv.reshape(B, H * W, 3 * self.dim),
-                    rel_pos_h, rel_pos_w, (H, W), scale,
-                    num_heads=self.num_heads, interpret=interpret,
-                )
-                out = out.reshape(B, H, W, self.dim)
-                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            out = flash_attention_lane_diff(
+                qkv, rel_pos_h, rel_pos_w, (H, W), scale,
+                num_heads=self.num_heads, interpret=interpret,
+            )
+            out = out.reshape(B, H, W, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         if impl == "win_lane" and self.use_rel_pos:
             from ..ops.window_attention import window_attention_laneblock
 
@@ -276,6 +283,9 @@ class ViTBlock(nn.Module):
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, pad_hw, (H, W))
         x = shortcut + y
+        # NB (r5 negative result): running norm2+MLP on the flat (B,N,C)
+        # stream (plain-dot emitter instead of the conv emitter) measured
+        # 90.14 vs 89.62 ms/img full-model — the conv-shaped MLP stays
         y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
         return x.reshape(B, N, C)

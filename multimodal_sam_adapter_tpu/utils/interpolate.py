@@ -126,12 +126,27 @@ def _resize_hw(x, out_h: int, out_w: int, kind: str):
     w_axis = x.ndim - 2
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     mk = _axis_weights_linear if kind == "linear" else _axis_weights_cubic
+    # einsum over the middle axis, leaving the contraction-axis handling
+    # to XLA: the explicit moveaxis+reshape+dot forced materialized
+    # transposes around every resize (~650 MB of copies per flagship
+    # forward, r5 HLO audit). Probe (scripts/tpu_resize_probe.py):
+    # bit-exact, 1.3-7x faster at every model shape.
     if in_h != out_h:
         idx, w = mk(in_h, out_h)
-        x = _resize_axis(x, h_axis, idx, w, in_h)
+        if idx.shape[0] * in_h <= _MM_MAX_ELEMS:
+            mat = jnp.asarray(_axis_matrix(idx, w, in_h), x.dtype)
+            x = jnp.einsum("...hwc,ph->...pwc", x, mat,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            x = _resize_axis(x, h_axis, idx, w, in_h)
     if in_w != out_w:
         idx, w = mk(in_w, out_w)
-        x = _resize_axis(x, w_axis, idx, w, in_w)
+        if idx.shape[0] * in_w <= _MM_MAX_ELEMS:
+            mat = jnp.asarray(_axis_matrix(idx, w, in_w), x.dtype)
+            x = jnp.einsum("...hwc,qw->...hqc", x, mat,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+        else:
+            x = _resize_axis(x, w_axis, idx, w, in_w)
     return x
 
 

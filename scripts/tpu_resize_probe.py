@@ -46,7 +46,7 @@ def scan_over(fn, n):
     return f
 
 
-def measure(name, fn, x, n_big=17):
+def measure(name, fn, x, n_big=65):
     ts = {}
     for n in (1, n_big):
         f = jax.jit(scan_over(fn, n))
