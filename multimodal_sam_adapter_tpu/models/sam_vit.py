@@ -137,7 +137,8 @@ class ViTAttention(nn.Module):
         # conv-style emitter's output layout forced a 25 MB relayout copy
         # (0.54 ms/block, r5 trace) in front of the kernel
         xin = x.reshape(B, H * W, C) if use_lane_flash else x
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(xin)
+        qkv_dense = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")
+        qkv = qkv_dense(xin)
         if use_lane_flash:
             # MSA_FLASH_IMPL selects the flash kernel variant at trace
             # time: 'lane' (default) consumes the RAW (B, N, 3C) projection
@@ -157,8 +158,19 @@ class ViTAttention(nn.Module):
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, head_dim),
             )
+            # the rel-term einsums do NOT read the qkv tensor (a second
+            # consumer makes XLA double-materialize the Pallas operand, a
+            # 0.54 ms/block copy): q is re-derived with a separate dot
+            # over the same params. Measured wall-NEUTRAL (89.52 vs 89.62
+            # ms/img — the copy overlapped with compute), kept because a
+            # single-consumer custom-call operand is robust against
+            # schedule changes and costs only an 8.6 GFLOP dot
+            wq = qkv_dense.variables["params"]["kernel"][:, : self.dim]
+            bq = qkv_dense.variables["params"]["bias"][: self.dim]
+            dt = qkv.dtype
+            q_rel = xin.astype(dt) @ wq.astype(dt) + bq.astype(dt)
             out = flash_attention_lane_diff(
-                qkv, rel_pos_h, rel_pos_w, (H, W), scale,
+                qkv, q_rel, rel_pos_h, rel_pos_w, (H, W), scale,
                 num_heads=self.num_heads, interpret=interpret,
             )
             out = out.reshape(B, H, W, self.dim)

@@ -314,7 +314,10 @@ def _dense_flash_bwd(q, k, v, rph, rpw, g, q_hw, scale):
     dq2, drph, drpw = vjp_terms(
         (drh.reshape(B, H, W, H), drw.reshape(B, H, W, W))
     )
-    return dq + dq2.astype(dq.dtype), dk, dv, drph, drpw
+    # dq = attention-path cotangent, dq2 = rel-term-path cotangent — kept
+    # separate so the lane wrapper can route them to its two boundary
+    # tensors (qkv_flat vs q_rel); the qkvt wrapper sums them
+    return dq, dq2.astype(dq.dtype), dk, dv, drph, drpw
 
 
 @functools.lru_cache(maxsize=None)
@@ -331,10 +334,10 @@ def _make_diff_flash(q_hw, scale, block_q, block_k_rows, interpret):
 
     def bwd(res, g):
         qkvt, rph, rpw = res
-        dq, dk, dv, drph, drpw = _dense_flash_bwd(
+        dq, dq2, dk, dv, drph, drpw = _dense_flash_bwd(
             qkvt[0], qkvt[1], qkvt[2], rph, rpw, g, q_hw, scale
         )
-        return (jnp.stack([dq, dk, dv]), drph, drpw)
+        return (jnp.stack([dq + dq2, dk, dv]), drph, drpw)
 
     fn.defvjp(fwd, bwd)
     return fn
@@ -464,6 +467,7 @@ def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
 
 def flash_attention_lane(
     qkv_flat: jnp.ndarray,
+    q_rel: jnp.ndarray,
     rel_pos_h: jnp.ndarray,
     rel_pos_w: jnp.ndarray,
     q_hw: Tuple[int, int],
@@ -476,9 +480,15 @@ def flash_attention_lane(
     """Flash attention over the RAW qkv projection output.
 
     qkv_flat: (B, N, 3*M*d) — the Dense layer's output, untouched (feature
-    order f = s*M*d + h*d + dd). Returns (B, N, M*d) with heads packed —
-    directly consumable by the proj matmul. Requires 128 % d == 0 and
-    M % (128//d) == 0 (all SAM configs: d=64 -> 2-head groups).
+    order f = s*M*d + h*d + dd). q_rel: (B, N, M*d) — the q projection
+    AGAIN, from a SEPARATE dot over the same weights: the rel-pos term
+    einsums must not read the qkv tensor, or XLA double-materializes it
+    (the Pallas custom call needs its operand in its own buffer; a second
+    consumer forced a 0.54 ms relayout copy per global block, r5 trace —
+    one extra 8.6 GFLOP q dot is ~10x cheaper). Returns (B, N, M*d) with
+    heads packed — directly consumable by the proj matmul. Requires
+    128 % d == 0 and M % (128//d) == 0 (all SAM configs: d=64 -> 2-head
+    groups).
     """
     B, N, F = qkv_flat.shape
     M = num_heads
@@ -488,9 +498,9 @@ def flash_attention_lane(
     G = 128 // d
     P2 = M // G                                   # lane groups per s slot
 
-    # rel-pos terms straight from the flat q slice — (B, M, N, K) reshaped
-    # to (BM, N, K) is layout-free (no (3, BM, N, d) marshalling)
-    r_q = qkv_flat[:, :, : M * d].reshape(B, H, W, M, d)
+    # rel-pos terms from the separate q dot — (B, M, N, K) reshaped to
+    # (BM, N, K) is layout-free (no (3, BM, N, d) marshalling)
+    r_q = q_rel.reshape(B, H, W, M, d)
     Rh_t, Rw_t = _rel_tables(H, W, rel_pos_h, rel_pos_w, r_q.dtype)
     rel_h = jnp.einsum("bhwmc,hkc->bmhwk", r_q, Rh_t).reshape(B * M, N, H)
     rel_w = jnp.einsum("bhwmc,wkc->bmhwk", r_q, Rw_t).reshape(B * M, N, W)
@@ -559,41 +569,48 @@ def _make_diff_flash_lane(q_hw, scale, num_heads, block_q, block_k_rows,
     M = num_heads
 
     @jax.custom_vjp
-    def fn(qkv_flat, rph, rpw):
+    def fn(qkv_flat, q_rel, rph, rpw):
         return flash_attention_lane(
-            qkv_flat, rph, rpw, q_hw, scale, num_heads,
+            qkv_flat, q_rel, rph, rpw, q_hw, scale, num_heads,
             block_q=block_q, block_k_rows=block_k_rows, interpret=interpret,
         )
 
-    def fwd(qkv_flat, rph, rpw):
-        return fn(qkv_flat, rph, rpw), (qkv_flat, rph, rpw)
+    def fwd(qkv_flat, q_rel, rph, rpw):
+        return fn(qkv_flat, q_rel, rph, rpw), (qkv_flat, rph, rpw)
 
     def bwd(res, g):
         # the flat->per-head marshalling the forward avoids is fine HERE:
-        # the backward is already dominated by the chunked dense recompute
+        # the backward is already dominated by the chunked dense recompute.
+        # q_rel == the q slice of qkv_flat numerically, so the recompute
+        # uses qkvt[0] for both paths and routes the rel-term cotangent to
+        # the q_rel input (autodiff outside sums the weight grads).
         qkv_flat, rph, rpw = res
         B = qkv_flat.shape[0]
         d = qkv_flat.shape[-1] // (3 * M)
         qkv5 = qkv_flat.reshape(B, N, 3, M, d)
         qkvt = qkv5.transpose(2, 0, 3, 1, 4).reshape(3, B * M, N, d)
         gt = g.reshape(B, N, M, d).transpose(0, 2, 1, 3).reshape(B * M, N, d)
-        dq, dk, dv, drph, drpw = _dense_flash_bwd(
+        dq, dq2, dk, dv, drph, drpw = _dense_flash_bwd(
             qkvt[0], qkvt[1], qkvt[2], rph, rpw, gt, q_hw, scale
         )
         dflat = jnp.stack([dq, dk, dv]).reshape(3, B, M, N, d)
         dflat = dflat.transpose(1, 3, 0, 2, 4).reshape(B, N, 3 * M * d)
-        return (dflat, drph, drpw)
+        dq_rel = dq2.reshape(B, M, N, d).transpose(0, 2, 1, 3).reshape(
+            B, N, M * d)
+        return (dflat, dq_rel, drph, drpw)
 
     fn.defvjp(fwd, bwd)
     return fn
 
 
-def flash_attention_lane_diff(qkv_flat, rph, rpw, q_hw, scale, num_heads,
-                              block_q: int = 256, block_k_rows: int = 64,
+def flash_attention_lane_diff(qkv_flat, q_rel, rph, rpw, q_hw, scale,
+                              num_heads, block_q: int = 256,
+                              block_k_rows: int = 64,
                               interpret: bool = False):
     """Differentiable lane-blocked flash: Pallas forward off the raw qkv
     projection, dense-path chunked VJP backward. qkv_flat: (B, N, 3*M*d);
-    returns (B, N, M*d) heads-packed."""
+    q_rel: (B, N, M*d) separate q dot for the rel terms (see
+    flash_attention_lane); returns (B, N, M*d) heads-packed."""
     return _make_diff_flash_lane(tuple(q_hw), float(scale), int(num_heads),
                                  block_q, block_k_rows, interpret)(
-        qkv_flat, rph, rpw)
+        qkv_flat, q_rel, rph, rpw)

@@ -85,8 +85,9 @@ def test_flash_lane_matches_dense(blk_q, blk_kr):
     ))
     want = want.reshape(B, M, N, d).transpose(0, 2, 1, 3).reshape(B, N, M * d)
 
+    qkv_flat = jnp.array(qkv.reshape(B, N, 3 * M * d))
     got = np.asarray(flash_attention_lane(
-        jnp.array(qkv.reshape(B, N, 3 * M * d)), jnp.array(rph),
+        qkv_flat, qkv_flat[:, :, : M * d], jnp.array(rph),
         jnp.array(rpw), (H, W), scale, num_heads=M,
         block_q=blk_q, block_k_rows=blk_kr, interpret=True,
     ))
@@ -107,7 +108,13 @@ def test_flash_lane_vjp_matches_dense():
     g = jnp.array(rng.standard_normal((B, N, M * d)), jnp.float32)
     scale = d ** -0.5
 
-    fn = _make_diff_flash_lane((H, W), scale, M, 16, 2, True)
+    fn_ = _make_diff_flash_lane((H, W), scale, M, 16, 2, True)
+
+    def fn(qkv_flat, rph_, rpw_):
+        # q_rel == the q slice: the module recomputes it with a separate
+        # dot over the same weights, so cotangents on both inputs must
+        # sum to the dense path's dq
+        return fn_(qkv_flat, qkv_flat[:, :, : M * d], rph_, rpw_)
 
     def dense(qkv_flat, rph_, rpw_):
         q5 = qkv_flat.reshape(B, N, 3, M, d)
