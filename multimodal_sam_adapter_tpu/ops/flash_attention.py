@@ -355,7 +355,7 @@ def flash_attention_rel_pos_diff(qkvt, rph, rpw, q_hw, scale,
 
 def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
                        G: int, d: int, nk: int,
-                       q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
+                       q_ref, k_ref, v_ref, rh_ref, rw_ref, e_ref, o_ref,
                        m_scr, l_scr, acc_scr):
     """Lane-blocked flash attention: q/k/v arrive as 128-lane-aligned
     BlockSpec slices of the RAW qkv projection output (feature order
@@ -369,9 +369,19 @@ def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
 
     Grid: (B * M/G, q_tiles, k_tiles) with k innermost.
     Blocks: q_ref (1, Tq, G*d), k/v_ref (1, Tk, G*d), rh_ref (G, Tq, Kh),
-    rw_ref (G, Tq, kw), o_ref (1, Tq, G*d) — heads land packed in their
-    own d-wide output lanes, so the caller's (BM, N, d) -> (B, N, M*d)
+    rw_ref (G, Tq, kw), e_ref (R+kw, Tk) precomputed bias-expand matrix
+    (kt-independent, so it is an XLA-side CONSTANT operand — building it
+    from iota compares in-kernel cost ~4 VPU passes over (R+kw, Tk) per
+    grid step), o_ref (1, Tq, G*d) — heads land packed in their own
+    d-wide output lanes, so the caller's (BM, N, d) -> (B, N, M*d)
     un-marshalling transpose disappears too.
+
+    VPU economy (the r5 trace shows the kernel softmax-pass-bound, not
+    MXU-bound): the single-k-tile path computes exp STRAIGHT to the AV
+    dtype (one fused sub+exp+cast pass) and takes the softmax denominator
+    from the AV dot itself — a ones-column planted in an unused lane of
+    the masked v operand makes `p @ v_aug` deliver sum(p) for free on the
+    MXU, killing the (Tq, Tk) f32 lane-reduction pass.
     Scratch (nk > 1 only): m/l (G, Tq, 1) f32, acc (Tq, G*d) f32.
     """
     kt = pl.program_id(2)
@@ -395,17 +405,15 @@ def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
     lane_q = jax.lax.broadcasted_iota(jnp.int32, (Tq, L), 1)
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (Tk, L), 1)
 
-    # shared bias expansion machinery (see _flash_kernel for the algebra)
+    # shared bias expansion machinery (see _flash_kernel for the algebra);
+    # the kt-dependent rh column select stays in-kernel, the kt-invariant
+    # expand matrix arrives as an operand (e_ref)
     Kh = rh_ref.shape[-1]
     row0 = kt * R
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, R), 0)
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, R), 1)
     sel = (h_ids == row0 + r_ids).astype(jnp.float32)       # (Kh, R)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R + kw, Tk), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R + kw, Tk), 0)
-    expand = jnp.where(row < R,
-                       (col // kw == row).astype(jnp.float32),
-                       (col % kw == row - R).astype(jnp.float32))
+    expand = e_ref[...]                                     # (R+kw, Tk)
 
     o_parts = None
     for h in range(G):
@@ -422,15 +430,41 @@ def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
             rh, sel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        comb = jnp.concatenate([rh_sel, rw], axis=1)
+        # comb holds values that are exactly representable in the rel-term
+        # dtype (one-hot selections of rh/rw entries), so the cast to the
+        # expand operand's dtype is exact and the bias dot runs at native
+        # MXU rate with f32 accumulation — bit-identical to the f32 dot
+        comb = jnp.concatenate([rh_sel, rw], axis=1).astype(expand.dtype)
         s = s + jax.lax.dot_general(
             comb, expand, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        vh = vg * (lane_k // d == h).astype(vg.dtype)
-        if nk == 1:
+        if nk == 1 and G > 1:
             # single k-tile (the flagship 64x64 geometry after clamping):
-            # exact softmax, no online recurrence, no scratch traffic
+            # exact softmax, no online recurrence, no scratch traffic.
+            # exp writes STRAIGHT to the AV dtype, and sum(p) rides the AV
+            # dot via a ones-column planted in the (zeroed) first lane of
+            # the neighbouring head — no (Tq, Tk) lane-reduce pass
+            sum_lane = ((h + 1) % G) * d
+            vh_aug = (vg * (lane_k // d == h).astype(vg.dtype)
+                      + (lane_k == sum_lane).astype(vg.dtype))
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m).astype(vg.dtype)
+            o_aug = jax.lax.dot_general(
+                p, vh_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (Tq, G*d) f32
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+                      == sum_lane).astype(jnp.float32)
+            l = jax.lax.dot_general(                         # (Tq, 1)
+                o_aug, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            plane = (lane_q // d == h).astype(jnp.float32) * (1.0 / l)
+            o_h = o_aug * plane
+            o_parts = o_h if o_parts is None else o_parts + o_h
+        elif nk == 1:
+            vh = vg * (lane_k // d == h).astype(vg.dtype)
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
@@ -440,6 +474,7 @@ def _flash_lane_kernel(kw: int, R: int, scale: float, fold_scale: bool,
             ) / l                                           # (Tq, G*d)
             o_parts = o_h if o_parts is None else o_parts + o_h
         else:
+            vh = vg * (lane_k // d == h).astype(vg.dtype)
             m_prev = m_scr[h]                               # (Tq, 1)
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
@@ -511,6 +546,15 @@ def flash_attention_lane(
     mant, _ = math.frexp(scale)
     fold_scale = mant == 0.5
 
+    # kt-invariant bias-expand matrix as a constant operand (in-kernel
+    # iota builds cost ~4 VPU passes over (R+kw, Tk) per grid step). Its
+    # entries are 0/1 so the compute dtype cast is exact.
+    col = jnp.arange(block_k)[None, :]
+    row = jnp.arange(rows + W)[:, None]
+    expand = jnp.where(row < rows,
+                       col // W == row,
+                       col % W == row - rows).astype(qkv_flat.dtype)
+
     scratch = []
     if nk > 1:
         scratch = [
@@ -543,6 +587,8 @@ def flash_attention_lane(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, block_q, W), lambda g, qt, kt: (g, qt, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows + W, block_k), lambda g, qt, kt: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, 128),
                                lambda g, qt, kt: (g // P2, qt, g % P2),
@@ -550,7 +596,7 @@ def flash_attention_lane(
         out_shape=jax.ShapeDtypeStruct((B, N, M * d), qkv_flat.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qkv_flat, qkv_flat, qkv_flat, rel_h, rel_w)
+    )(qkv_flat, qkv_flat, qkv_flat, rel_h, rel_w, expand)
     return out
 
 
