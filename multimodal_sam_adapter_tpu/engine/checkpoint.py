@@ -65,10 +65,25 @@ def save_checkpoint(ckpt_dir: str, state, step: int, max_keep: int = 1,
     return path
 
 
-def restore_checkpoint(path: str) -> Dict[str, Any]:
+def restore_checkpoint(path: str, target=None) -> Dict[str, Any]:
+    """Restore a checkpoint payload.
+
+    target: optional pytree TEMPLATE with the live state's structure
+    ({'step', 'params', 'batch_stats', 'opt_state'}). Without it, orbax
+    returns plain nested dicts/lists — fine for reading weights, but the
+    optimizer state LOSES its optax container types (MultiStepsState &
+    co.), and the first post-resume train step crashes on attribute
+    access (caught by the r5 on-chip training soak: resume with
+    grad_accum > 1 hit `'dict' object has no attribute gradient_step'`).
+    Resume paths must pass the template; weights-only loads may omit it.
+    """
     import json
 
-    payload = _ckptr().restore(osp.abspath(path))
+    if target is not None:
+        payload = _ckptr().restore(osp.abspath(path),
+                                   item=jax.device_get(target))
+    else:
+        payload = _ckptr().restore(osp.abspath(path))
     meta_path = osp.join(osp.abspath(path), "meta.json")
     if osp.exists(meta_path):
         with open(meta_path) as f:

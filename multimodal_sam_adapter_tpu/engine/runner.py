@@ -143,7 +143,16 @@ class EpochRunner:
             path = latest_checkpoint(osp.join(self.work_dir, "ckpts"))
         if path is None:
             return
-        payload = restore_checkpoint(path)
+        # the template preserves the optax state container types
+        # (engine/checkpoint.py:restore_checkpoint) — without it the
+        # restored opt_state is plain dicts and the first post-resume
+        # train step crashes (found by the r5 on-chip soak)
+        payload = restore_checkpoint(path, target={
+            "step": np.asarray(0),
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+        })
         self.state = self.state.replace(
             step=np.asarray(payload["step"], np.int32),
             params=payload["params"],

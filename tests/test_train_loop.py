@@ -262,3 +262,47 @@ def test_tiny_model_overfits_one_batch():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_resume_restores_opt_state_types_and_trains(tiny_state_and_step,
+                                                    tmp_path):
+    """Resume must restore the optax container types (MultiStepsState &
+    co.), not plain dicts — found by the r5 on-chip soak: the first
+    post-resume train step crashed with
+    `'dict' object has no attribute 'gradient_step'` under grad_accum > 1.
+    Restoring through the live-state template and TRAINING a step is the
+    regression pin."""
+    from multimodal_sam_adapter_tpu.engine.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+
+    _, state, step = tiny_state_and_step
+    rng = jax.random.PRNGKey(7)
+    batch = {"img": jnp.ones((2, 64, 64, 6)),
+             "gt": jnp.zeros((2, 64, 64), jnp.int32)}
+    state, _ = step(state, batch, rng)
+    path = save_checkpoint(str(tmp_path / "ck"), state, step=1)
+
+    payload = restore_checkpoint(path, target={
+        "step": np.asarray(0),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    })
+    assert jax.tree_util.tree_structure(payload["opt_state"]) \
+        == jax.tree_util.tree_structure(jax.device_get(state.opt_state))
+    resumed = state.replace(
+        step=np.asarray(payload["step"], np.int32) ,
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=payload["opt_state"],
+    )
+    resumed, m = step(resumed, batch, rng)   # crashed before the fix
+    assert np.isfinite(float(m["loss"]))
+
+    # the untyped restore (weights-only path) must still work
+    raw = restore_checkpoint(path)
+    flat_a = jax.tree_util.tree_leaves(raw["params"])
+    flat_b = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
