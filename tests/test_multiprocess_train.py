@@ -35,9 +35,17 @@ def test_two_process_train_matches_single_process(tmp_path):
     coord = f"localhost:{_free_port()}"
 
     def env(rank):
-        # per-rank compile caches — see tests/test_multiprocess_gather.py
+        # per-rank compile caches — see tests/test_multiprocess_gather.py.
+        # Strip the parent pytest's virtual-device flag: with it, each
+        # process gets 8 local CPU devices and the 2-process mesh becomes
+        # 16-wide — unshardable by the 2-sample global batch (this is a
+        # 1-device-per-process DP topology test).
+        import re
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       os.environ.get("XLA_FLAGS", "")).strip()
         return dict(
             os.environ,
+            XLA_FLAGS=flags,
             JAX_PLATFORMS="cpu",
             PALLAS_AXON_POOL_IPS="",
             JAX_COMPILATION_CACHE_DIR=f"/tmp/jax_test_cache_trank{rank}",
@@ -102,9 +110,13 @@ def test_two_process_train_matches_single_process(tmp_path):
                                    rtol=1e-5)
         leaves = [got[f"p{i}"] for i in range(len(oracle))]
         # params: the cross-process grad all-reduce sums in a different
-        # order than the single-device batch mean (measured: ~0.01% of
-        # elements off by <= 1.3e-5 after two AdamW steps) — tolerance
-        # covers reduction-order noise only, not semantic drift
+        # order than the single-device batch mean, and AdamW's m/rsqrt(nu)
+        # normalization is SCALE-FREE — near-zero-gradient params can move
+        # by up to ~one lr quantum (2e-4 here) from reduction-order noise
+        # alone in the first steps. The LOSS equality above (rtol 1e-5 at
+        # step 2, i.e. computed from the step-1 params) is the semantic
+        # check; this bound only catches gross divergence (a dropped batch
+        # half or missing psum displaces params by orders more).
         for x, y in zip(oracle, leaves):
-            np.testing.assert_allclose(np.asarray(x), y, rtol=1e-4,
-                                       atol=5e-5)
+            np.testing.assert_allclose(np.asarray(x), y, rtol=1e-3,
+                                       atol=2.5e-4)
