@@ -67,8 +67,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from multimodal_sam_adapter_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     from __graft_entry__ import _flagship_model
     from multimodal_sam_adapter_tpu.utils.params import cast_inference_params
 

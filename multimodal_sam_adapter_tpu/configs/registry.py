@@ -361,7 +361,10 @@ def apply_overrides(cfg: dict, overrides: Dict[str, str]) -> dict:
         node = cfg
         keys = dotted.split(".")
         for k in keys[:-1]:
-            node = node[k]
+            # create missing intermediate dicts (mmcv's merge_from_dict
+            # semantics): lets overrides add optional blocks like
+            # log_config.interval without pre-declaring them per-config
+            node = node.setdefault(k, {}) if isinstance(node, dict) else node[k]
         try:
             val = ast.literal_eval(raw)
         except (ValueError, SyntaxError):

@@ -47,6 +47,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from multimodal_sam_adapter_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from multimodal_sam_adapter_tpu.configs import get_config
     from multimodal_sam_adapter_tpu.configs.registry import apply_overrides
     from multimodal_sam_adapter_tpu.data import build_dataset

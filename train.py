@@ -56,6 +56,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from multimodal_sam_adapter_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from multimodal_sam_adapter_tpu.configs import get_config
     from multimodal_sam_adapter_tpu.configs.registry import apply_overrides
     from multimodal_sam_adapter_tpu.data import DataLoader, build_dataset
@@ -191,6 +197,7 @@ def main():
         save_best=cfg["evaluation"].get("save_best"),
         ckpt_interval=cfg["checkpoint"]["interval"],
         max_keep_ckpts=cfg["checkpoint"]["max_keep_ckpts"],
+        log_interval=cfg.get("log_config", {}).get("interval", 50),
         early_stopping=EarlyStopping(),
         rng=jax.random.PRNGKey(args.seed + 1),
         ckpt_meta=ckpt_meta,
