@@ -34,6 +34,7 @@ torch-eager ViT-L/1024^2 pipelines publish 3-6% MFU.  vs_baseline =
 value / A100_EST.
 """
 import json
+import os
 import time
 
 BUDGET_S = 420.0  # internal wall budget: stay well under external timeouts
@@ -71,6 +72,15 @@ def main():
         enable_persistent_compilation_cache,
     )
 
+    # repo-local cache dir: the home-dir cache does not survive between
+    # driver sessions in this environment, and a cold remote compile alone
+    # can eat an external timeout (r4 lost its artifact to exactly that);
+    # a warm-up run of this script leaves the compiled executable where
+    # the driver's run will find it
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
     enable_persistent_compilation_cache()
     from __graft_entry__ import _flagship_model
     from multimodal_sam_adapter_tpu.utils.params import cast_inference_params
