@@ -31,12 +31,12 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     @classmethod
-    def create(cls, params, batch_stats, tx):
+    def create(cls, params, batch_stats, tx, opt_state=None):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
-            opt_state=tx.init(params),
+            opt_state=tx.init(params) if opt_state is None else opt_state,
             tx=tx,
         )
 
@@ -93,10 +93,14 @@ def init_train_state(
     rng,
     optimizer_kwargs: Optional[dict] = None,
 ) -> TrainState:
-    variables = model.init(
+    # ONE jitted init program. Eager model.init dispatches hundreds of
+    # per-initializer ops; through this environment's remote compiler that
+    # is minutes of compile round-trips (bench.py hit the same thing).
+    variables = jax.jit(model.init, static_argnames=("train",))(
         rng, jnp.zeros(input_shape, jnp.float32), train=False
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(params, **(optimizer_kwargs or {}))
-    return TrainState.create(params, batch_stats, tx)
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState.create(params, batch_stats, tx, opt_state=opt_state)
